@@ -1,0 +1,28 @@
+"""snakeslam_tpu — a TPU-native visual-inertial SLAM framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capability set of
+darglein/Snake-SLAM (see /root/repo/SURVEY.md for the structural analysis of
+the reference).  The compute path (feature extraction, matching, pose
+optimization, bundle adjustment, IMU solvers) is jit-compiled fixed-shape XLA
+with Pallas kernels for the hot ops; the orchestration layer (pipeline stages,
+map bookkeeping, keyframe-graph logic) is host-side Python over preallocated
+numpy arrays, mirroring the reference's snapshot → lock-free compute → guarded
+commit idiom (reference: Snake/Map/LocalMap.h:34-55).
+
+Layout:
+  core/      SE3/Sim3 Lie algebra, camera & distortion models, trajectory eval
+  ops/       device kernels: ORB, Hamming matching, GN solvers, BA, IMU, BoW
+  models/    flagship jittable step functions (tracking megastep, BA step)
+  map/       map data model (fixed-capacity keyframe/point pools)
+  frontend/  dataset loaders, feature detection, preprocessing
+  tracking/  predictor, coarse/fine tracking, keyframe decision, initializers
+  mapping/   local mapping, triangulation, neighbor fusion
+  optim/     local/global BA drivers, simplification, deferred mapping
+  loop/      loop closing, keyframe database, pose-graph optimization
+  imu/       IMU state solver state machine, decoupled full solver
+  system/    settings, system driver, performance stats, trajectory IO
+  parallel/  device mesh / sharding utilities for multi-chip execution
+  utils/     config, logging, small helpers
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,27 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests run on the host platform so they are deterministic, fast to compile,
+and can exercise multi-chip sharding (8 virtual devices) without TPU
+hardware.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
