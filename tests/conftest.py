@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment's axon TPU plugin force-prepends itself to jax_platforms
+# regardless of JAX_PLATFORMS; override the config post-import so tests run
+# on the host CPU (deterministic, fast compiles, 8 virtual devices).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
 
 import numpy as np
