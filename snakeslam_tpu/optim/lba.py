@@ -1,0 +1,183 @@
+"""Local bundle adjustment driver: window selection, packing, write-back.
+
+Host side of the reference's LocalBundleAdjustment
+(reference: Snake/Optimizer/LocalBundleAdjustment.cpp): window = up to 15
+covisible + 15 temporally previous keyframes plus fixed boundary keyframes
+observing shared points (:94-184), solve (3 LM iterations, :353-366),
+chi2 outlier classification and erase (:369-412), commit with a map-state
+conflict check (:463-499).  The solve itself is the jitted dense-Schur LM in
+ops/ba.py with fixed (C, P, M) slots so it compiles once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.core.pyramid import ScalePyramid
+from snakeslam_tpu.map.slam_map import SlamMap
+from snakeslam_tpu.ops import ba as BA
+from snakeslam_tpu.system.settings import Settings
+
+F32 = np.float32
+
+
+class LocalBA:
+    def __init__(self, settings: Settings, smap: SlamMap):
+        self.s = settings
+        self.map = smap
+        self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
+                                  settings.cy)
+        self.bf = jnp.float32(settings.bf)
+        self.pyramid = ScalePyramid.create(settings.fd_levels,
+                                           settings.fd_scale_factor)
+        self.n_runs = 0
+
+    def add(self, kf: int):
+        """Queue interface (delay 0, synchronous in deterministic mode —
+        DelayedParallelMapOptimization with delay 0,
+        LocalBundleAdjustment.cpp:23-24)."""
+        self.run(kf)
+
+    # ------------------------------------------------------------------
+
+    def select_window(self, kf: int):
+        """Window KFs (optimized) + boundary KFs (fixed)
+        (LocalBundleAdjustment.cpp:94-184)."""
+        smap = self.map
+        ids, w = smap.covisible_keyframes(kf, min_weight=1)
+        window = [kf] + [int(k) for k in ids[:15]]
+        # previous keyframes along the temporal chain
+        cur = kf
+        for _ in range(15):
+            prev = smap.kf_prev[cur]
+            if prev < 0 or not smap.kf_valid[prev]:
+                break
+            if prev not in window:
+                window.append(int(prev))
+            cur = prev
+        window = window[: self.s.lba_cam_slots - 8]  # leave room for boundary
+
+        # points observed by the window
+        pts = np.unique(np.concatenate(
+            [smap.keyframe_points(k) for k in window]
+        )) if window else np.array([], dtype=np.int64)
+        pts = pts[smap.pt_valid[pts]]
+        if len(pts) > self.s.lba_point_slots:
+            pts = pts[: self.s.lba_point_slots]
+
+        # boundary: other KFs observing those points -> fixed
+        obs_kfs = smap.pt_obs_kf[pts].ravel()
+        obs_kfs = np.unique(obs_kfs[obs_kfs >= 0])
+        boundary = [int(k) for k in obs_kfs if k not in window]
+        boundary = boundary[: self.s.lba_cam_slots - len(window)]
+        return window, boundary, pts
+
+    def pack(self, window, boundary, pts):
+        smap = self.map
+        C = self.s.lba_cam_slots
+        P = self.s.lba_point_slots
+        M = self.s.lba_obs_slots
+        cams = window + boundary
+        cam_slot = {k: i for i, k in enumerate(cams)}
+
+        cam_pose = np.tile(np.eye(4, dtype=F32), (C, 1, 1))
+        cam_fixed = np.ones(C, dtype=bool)
+        cam_valid = np.zeros(C, dtype=bool)
+        for i, k in enumerate(cams):
+            cam_pose[i] = smap.kf_pose[k]
+            cam_valid[i] = True
+            cam_fixed[i] = i >= len(window)
+        # gauge: boundary KFs are the fixed anchors (like the reference);
+        # with no boundary, hold the oldest window KF fixed
+        if len(boundary) == 0 and len(window) > 1:
+            cam_fixed[len(window) - 1] = True
+
+        points = np.zeros((P, 3), dtype=F32)
+        point_valid = np.zeros(P, dtype=bool)
+        obs_cam = np.full((P, M), -1, dtype=np.int32)
+        obs_uv = np.zeros((P, M, 2), dtype=F32)
+        obs_right = np.full((P, M), -1.0, dtype=F32)
+        obs_weight = np.ones((P, M), dtype=F32)
+        obs_valid = np.zeros((P, M), dtype=bool)
+        obs_feat = np.full((P, M), -1, dtype=np.int32)  # for outlier erase
+
+        inv_scale = self.pyramid.inv_scales
+        npts = len(pts)
+        points[:npts] = smap.pt_pos[pts]
+        point_valid[:npts] = True
+        for pi, pt in enumerate(pts):
+            kfs, feats = smap.point_observations(int(pt))
+            m = 0
+            for k, f in zip(kfs, feats):
+                if m >= M:
+                    break
+                slot = cam_slot.get(int(k))
+                if slot is None:
+                    continue
+                obs_cam[pi, m] = slot
+                obs_uv[pi, m] = smap.kf_feat_uv[k, f]
+                obs_right[pi, m] = smap.kf_feat_right[k, f]
+                obs_weight[pi, m] = inv_scale[
+                    min(int(smap.kf_feat_octave[k, f]), len(inv_scale) - 1)
+                ]
+                obs_valid[pi, m] = True
+                obs_feat[pi, m] = f
+                m += 1
+
+        problem = BA.BAProblem(
+            cam_pose=jnp.asarray(cam_pose),
+            cam_fixed=jnp.asarray(cam_fixed),
+            cam_valid=jnp.asarray(cam_valid),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(point_valid),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_right=jnp.asarray(obs_right),
+            obs_weight=jnp.asarray(obs_weight),
+            obs_valid=jnp.asarray(obs_valid),
+            **BA.empty_rpc(),
+        )
+        aux = dict(cams=cams, pts=pts, obs_cam=obs_cam, obs_feat=obs_feat,
+                   obs_valid=obs_valid, n_window=len(window))
+        return problem, aux
+
+    # ------------------------------------------------------------------
+
+    def run(self, kf: int, iterations: int = 3):
+        smap = self.map
+        window, boundary, pts = self.select_window(kf)
+        if len(window) < 2 or len(pts) < 20:
+            return
+        state_before = smap.state
+        problem, aux = self.pack(window, boundary, pts)
+        cam_pose, points, cost = BA.solve_ba(
+            problem, self.cam, self.bf, iterations=iterations
+        )
+        outliers = BA.classify_outliers(
+            problem, self.cam, self.bf, cam_pose, points
+        )
+        # ---- commit (UpdateLocalScene, :415-500) ----
+        # (deterministic mode: no concurrent mutation; the state check mirrors
+        # the reference's optimistic-concurrency drop)
+        if smap.state != state_before:
+            return
+        cam_pose = np.asarray(cam_pose, dtype=np.float64)
+        points = np.asarray(points, dtype=np.float64)
+        for i, k in enumerate(aux["cams"][: aux["n_window"]]):
+            smap.kf_pose[k] = cam_pose[i]
+        smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
+
+        # erase chi2-outlier observations
+        out_np = np.asarray(outliers)
+        for pi, mi in zip(*np.nonzero(out_np & aux["obs_valid"])):
+            slot = aux["obs_cam"][pi, mi]
+            k = aux["cams"][slot]
+            f = int(aux["obs_feat"][pi, mi])
+            smap.remove_observation(int(k), f)
+            pt = aux["pts"][pi]
+            if smap.pt_n_obs[pt] < 2:
+                smap.erase_point(int(pt))
+        smap.state += 1
+        self.n_runs += 1

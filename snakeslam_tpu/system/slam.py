@@ -1,0 +1,128 @@
+"""SlamSystem: module construction, the run loop, and end-of-run passes.
+
+Mirrors the reference's System (reference: Snake/System/System.{h,cpp}):
+constructs the module graph (System.cpp:49-107), drives input -> tracking,
+then runs the final global-BA passes and outlier removal (System.cpp:150-260)
+and writes TUM trajectories (System.cpp:529-590).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from snakeslam_tpu.core import trajectory as traj
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.mapping.local_mapping import LocalMapper
+from snakeslam_tpu.optim.lba import LocalBA
+from snakeslam_tpu.system.settings import Settings
+from snakeslam_tpu.system.stats import PerformanceStats
+from snakeslam_tpu.tracking.tracker import Tracker, TrackingState
+
+
+class SlamSystem:
+    def __init__(self, settings: Settings):
+        self.s = settings
+        self.map = SlamMap(settings.max_keyframes, settings.max_points,
+                           settings.feature_slots)
+        self.lba = LocalBA(settings, self.map)
+        self.local_mapper = LocalMapper(settings, self.map, lba=self.lba)
+        self.tracker = Tracker(settings, self.map,
+                               local_mapper=self.local_mapper)
+        self.stats = PerformanceStats()
+        self.n_frames = 0
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame: FrameData):
+        with self.stats.timer("Tracking"):
+            st = self.tracker.process_frame(frame)
+        self.n_frames += 1
+        return st
+
+    def run(self, frames):
+        """Drive a frame iterable through the pipeline (dataset mode)."""
+        t0 = time.perf_counter()
+        for frame in frames:
+            self.process_frame(frame)
+        wall = time.perf_counter() - t0
+        self.finalize()
+        return wall
+
+    # ------------------------------------------------------------------
+
+    def finalize(self, gba_iterations: int = 5):
+        """End-of-run passes (System.cpp:186-215): full BA + outlier
+        removal + another BA round."""
+        from snakeslam_tpu.optim.gba import GlobalBA
+
+        if self.map.n_keyframes >= 2:
+            gba = GlobalBA(self.s, self.map)
+            gba.full_ba(iterations=gba_iterations)
+            gba.remove_outliers()
+            gba.full_ba(iterations=gba_iterations)
+
+    # ------------------------------------------------------------------
+    # trajectory export (TUM format, System.cpp:529-590)
+    # ------------------------------------------------------------------
+
+    def frame_trajectory(self):
+        """(timestamps, positions, quats_wxyz) of all tracked frames, camera
+        center in world coordinates."""
+        ts, pos, quat = [], [], []
+        from snakeslam_tpu.core import lie
+        import jax.numpy as jnp
+
+        for f in self.tracker.trajectory:
+            if f.pose_cw is None:
+                continue
+            Twc = np.linalg.inv(f.pose_cw)
+            ts.append(f.timestamp)
+            pos.append(Twc[:3, 3])
+            q = np.asarray(lie.rotmat_to_quat(jnp.asarray(Twc[:3, :3])))
+            quat.append(q)
+        return np.array(ts), np.array(pos), np.array(quat)
+
+    def keyframe_trajectory(self):
+        from snakeslam_tpu.core import lie
+        import jax.numpy as jnp
+
+        ks = self.map.valid_keyframes()
+        order = np.argsort(self.map.kf_timestamp[ks])
+        ks = ks[order]
+        ts, pos, quat = [], [], []
+        for k in ks:
+            Twc = np.linalg.inv(self.map.kf_pose[k])
+            ts.append(self.map.kf_timestamp[k])
+            pos.append(Twc[:3, 3])
+            quat.append(np.asarray(
+                lie.rotmat_to_quat(jnp.asarray(Twc[:3, :3]))
+            ))
+        return np.array(ts), np.array(pos), np.array(quat)
+
+    def write_trajectories(self, out_dir: str | Path):
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        prefix = self.s.out_file_prefix
+        ts, pos, quat = self.frame_trajectory()
+        if len(ts):
+            traj.write_tum(out_dir / f"{prefix}_frames_ba.tum", ts, pos, quat)
+        ts, pos, quat = self.keyframe_trajectory()
+        if len(ts):
+            traj.write_tum(out_dir / f"{prefix}_keyframes_ba.tum", ts, pos, quat)
+
+    def ate_against_gt(self, with_scale: bool = True):
+        """ATE vs the ground-truth poses carried by the frames (eval only)."""
+        est, gt = [], []
+        for f in self.tracker.trajectory:
+            if f.pose_cw is None or f.gt_pose_cw is None:
+                continue
+            est.append(np.linalg.inv(f.pose_cw)[:3, 3])
+            gt.append(np.linalg.inv(f.gt_pose_cw)[:3, 3])
+        if len(est) < 3:
+            return float("nan"), 1.0, 0
+        rmse, scale = traj.ate_rmse(np.array(est), np.array(gt),
+                                    with_scale=with_scale)
+        return rmse, scale, len(est)

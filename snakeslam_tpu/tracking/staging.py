@@ -1,0 +1,87 @@
+"""Host->device staging: pad frames and local-map snapshots to fixed shapes.
+
+The device-side equivalents of the reference's ``LocalMap<T>`` snapshots
+(reference: Snake/Map/LocalMap.h:17-79): local copies of point payload so the
+jitted matchers never touch the live map.  All outputs have static shapes
+(feature_slots / local_map_slots) so nothing recompiles per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.ops.descriptors import unpack_bits_np
+from snakeslam_tpu.ops.matching import FrameFeatures, LocalMapPoints
+
+F32 = np.float32
+
+
+def pad_frame_features(frame: FrameData, n_slots: int) -> FrameFeatures:
+    n = min(frame.n, n_slots)
+    uv = np.zeros((n_slots, 2), dtype=F32)
+    right = np.full(n_slots, -1.0, dtype=F32)
+    octave = np.zeros(n_slots, dtype=np.int32)
+    angle = np.zeros(n_slots, dtype=F32)
+    bits = np.zeros((n_slots, 256), dtype=np.int8)
+    uv[:n] = frame.uv[:n]
+    right[:n] = frame.right[:n]
+    octave[:n] = frame.octave[:n]
+    angle[:n] = frame.angle[:n]
+    bits[:n] = unpack_bits_np(frame.descriptors[:n])
+    valid = np.arange(n_slots) < n
+    return FrameFeatures(
+        uv=jnp.asarray(uv),
+        right=jnp.asarray(right),
+        octave=jnp.asarray(octave),
+        angle=jnp.asarray(angle),
+        desc_bits=jnp.asarray(bits),
+        valid=jnp.asarray(valid),
+    )
+
+
+def snapshot_points(
+    smap: SlamMap,
+    point_ids: np.ndarray,
+    n_slots: int,
+    angles: np.ndarray | None = None,
+    octaves: np.ndarray | None = None,
+):
+    """Build a LocalMapPoints snapshot for `point_ids` (host gather -> device).
+
+    Args:
+      angles/octaves: optional per-point override (frame-frame coarse matching
+        uses the last frame's keypoint angle/octave instead of the map point's
+        reference level — reference: CoarseTrackingPoint, LocalMap.h:17-33).
+
+    Returns (LocalMapPoints, ids_used (<= n_slots)).
+    """
+    ids = np.asarray(point_ids[:n_slots], dtype=np.int64)
+    n = len(ids)
+    pos = np.zeros((n_slots, 3), dtype=F32)
+    normal = np.zeros((n_slots, 3), dtype=F32)
+    bits = np.zeros((n_slots, 256), dtype=np.int8)
+    ref_depth = np.ones(n_slots, dtype=F32)
+    ref_level = np.zeros(n_slots, dtype=np.int32)
+    angle = np.zeros(n_slots, dtype=F32)
+    if n > 0:
+        pos[:n] = smap.pt_pos[ids]
+        normal[:n] = smap.pt_normal[ids]
+        bits[:n] = unpack_bits_np(smap.pt_desc[ids])
+        ref_depth[:n] = smap.pt_ref_depth[ids]
+        ref_level[:n] = (octaves[:n] if octaves is not None
+                         else smap.pt_ref_level[ids])
+        if angles is not None:
+            angle[:n] = angles[:n]
+    valid = np.arange(n_slots) < n
+    lm = LocalMapPoints(
+        position=jnp.asarray(pos),
+        normal=jnp.asarray(normal),
+        desc_bits=jnp.asarray(bits),
+        ref_depth=jnp.asarray(ref_depth),
+        ref_level=jnp.asarray(ref_level),
+        angle=jnp.asarray(angle),
+        valid=jnp.asarray(valid),
+    )
+    return lm, ids

@@ -1,0 +1,396 @@
+"""Per-frame tracking: state machine, prediction, coarse/fine stages.
+
+Host orchestration around the two jitted megasteps in
+models/tracking_step.py.  Mirrors the reference's Tracking module
+(reference: Snake/Tracking/Tracking.{h,cpp}): states
+NOT_INITIALIZED / OK / RECOVERING (Tracking.h:88-97), the coarse->fine
+per-frame pipeline (Tracking.cpp:142-199), constant-velocity prediction
+(StatePredictor without IMU), lost-tracking policy (Tracking.cpp:200-244),
+and the keyframe decision (Snake/Tracking/KeyframeDecision.cpp).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.core.pyramid import ScalePyramid
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.models.tracking_step import coarse_step, fine_step
+from snakeslam_tpu.system.settings import InputType, Settings
+from snakeslam_tpu.tracking.staging import pad_frame_features, snapshot_points
+
+
+class TrackingState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECOVERING = 2
+    LOST = 3
+
+
+@dataclass
+class TrackStats:
+    n_coarse_matches: int = 0
+    n_coarse_inliers: int = 0
+    n_fine_inliers: int = 0
+    state: TrackingState = TrackingState.NOT_INITIALIZED
+    made_keyframe: bool = False
+
+
+class Tracker:
+    def __init__(self, settings: Settings, smap: SlamMap, local_mapper=None):
+        self.s = settings
+        self.map = smap
+        self.local_mapper = local_mapper
+        self.state = TrackingState.NOT_INITIALIZED
+        self.pyramid = ScalePyramid.create(settings.fd_levels,
+                                           settings.fd_scale_factor)
+
+        self.last_frame: FrameData | None = None
+        self.last_tracked_frame: FrameData | None = None
+        self.last_kf: int = -1
+        self.velocity = np.eye(4)   # camera-space relative motion model
+        self.frames_since_loss = 0
+        self.recover_frames = 0
+
+        # static device-side config
+        self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
+                                  settings.cy)
+        self.bf = jnp.float32(settings.bf)
+        margin = 0.0
+        self.bounds = jnp.asarray(
+            [margin, margin, settings.width - margin, settings.height - margin],
+            dtype=jnp.float32,
+        )
+        self.scales = jnp.asarray(self.pyramid.scales)
+        self.log_sf = jnp.float32(self.pyramid.log_scale_factor)
+        self.is_mono = settings.input_type == InputType.Mono
+        self.coarse_radius = jnp.float32(15.0 if self.is_mono else 10.0)
+        self.fine_th = jnp.float32(5.0 if self.is_mono else 4.0)
+        self.zero = jnp.float32(0.0)
+
+        # trajectory log: (timestamp, pose_cw, ref_kf) per tracked frame
+        self.trajectory: list[FrameData] = []
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame: FrameData) -> TrackStats:
+        stats = TrackStats(state=self.state)
+        if self.state == TrackingState.NOT_INITIALIZED:
+            ok = self._initialize(frame)
+            if ok:
+                self.state = TrackingState.OK
+                stats.made_keyframe = True
+            stats.state = self.state
+            self.last_frame = frame
+            if ok:
+                self.last_tracked_frame = frame
+                self.trajectory.append(frame)
+            return stats
+
+        # ---- prediction (constant velocity; StatePredictor analog) ----
+        T_pred = self.velocity @ self.last_frame.pose_cw if (
+            self.last_frame is not None and self.last_frame.pose_cw is not None
+        ) else self.map.kf_pose[self.last_kf]
+
+        ok = self._track(frame, T_pred, stats)
+        if ok:
+            self.state = TrackingState.OK
+            # update the motion model
+            if (self.last_tracked_frame is not None
+                    and self.last_tracked_frame.pose_cw is not None
+                    and frame.frame_id - self.last_tracked_frame.frame_id == 1):
+                self.velocity = frame.pose_cw @ np.linalg.inv(
+                    self.last_tracked_frame.pose_cw
+                )
+            self.last_tracked_frame = frame
+            self.trajectory.append(frame)
+
+            # ---- keyframe decision ----
+            need, reason = self._need_new_keyframe(frame)
+            if need and self.local_mapper is not None:
+                kf = self.local_mapper.insert_keyframe(frame, self.last_kf)
+                if kf >= 0:
+                    self.last_kf = kf
+                    stats.made_keyframe = True
+        else:
+            self._handle_loss(frame)
+        stats.state = self.state
+        self.last_frame = frame
+        return stats
+
+    # ------------------------------------------------------------------
+    # initialization (RGBD/stereo single-frame bootstrap)
+    # ------------------------------------------------------------------
+
+    def _initialize(self, frame: FrameData) -> bool:
+        """RGBDInitializer parity (reference: Snake/Tracking/Initialization/
+        RGBDInitializer.cpp): needs >= 180 depth features; unprojects them
+        to map points.  Also used for stereo (Tracking.cpp:277-291)."""
+        if self.is_mono:
+            return self._initialize_mono(frame)
+        has_depth = frame.depth > 0
+        if has_depth.sum() < 180:
+            return False
+        frame.pose_cw = np.eye(4)
+        frame.matches = np.full(frame.n, -1, dtype=np.int64)
+        frame.outlier = np.zeros(frame.n, dtype=bool)
+        kf = self.map.allocate_keyframe(frame)
+        fx, fy, cx, cy = self.s.fx, self.s.fy, self.s.cx, self.s.cy
+        for i in np.nonzero(has_depth)[0]:
+            z = frame.depth[i]
+            wp = np.array([
+                (frame.uv[i, 0] - cx) / fx * z,
+                (frame.uv[i, 1] - cy) / fy * z,
+                z,
+            ])
+            normal = -wp / max(np.linalg.norm(wp), 1e-9)
+            pt = self.map.allocate_point(
+                wp, frame.descriptors[i], kf, float(np.linalg.norm(wp)),
+                int(frame.octave[i]), normal,
+            )
+            self.map.add_observation(kf, int(i), pt)
+            frame.matches[i] = pt
+        self.map.compute_median_depth(kf)
+        frame.is_keyframe = True
+        frame.ref_kf = kf
+        self.last_kf = kf
+        self.velocity = np.eye(4)
+        if self.local_mapper is not None:
+            self.local_mapper.on_map_initialized(kf)
+        return True
+
+    def _initialize_mono(self, frame: FrameData) -> bool:
+        # installed by tracking/mono_init.py (round-robin build plan step 7)
+        if getattr(self, "mono_initializer", None) is None:
+            return False
+        return self.mono_initializer.try_initialize(self, frame)
+
+    # ------------------------------------------------------------------
+    # coarse + fine tracking
+    # ------------------------------------------------------------------
+
+    def _coarse_local_map(self):
+        """Points of the last frame's matches + the last KF's observations
+        (reference: BuildCoarseLocalMap, TrackingCoarse.cpp:22-148), with
+        octave/angle payload from their source keypoints."""
+        ids, angles, octaves = [], [], []
+        if (self.last_frame is not None and self.last_frame.matches is not None):
+            m = self.last_frame.matches
+            sel = np.nonzero((m >= 0) & self.map.pt_valid[np.maximum(m, 0)])[0]
+            ids.append(m[sel])
+            angles.append(self.last_frame.angle[sel])
+            octaves.append(self.last_frame.octave[sel])
+        if self.last_kf >= 0:
+            kf = self.last_kf
+            n = self.map.kf_n_feat[kf]
+            feats = np.nonzero(self.map.kf_obs[kf, :n] >= 0)[0]
+            pts = self.map.kf_obs[kf, feats]
+            ok = self.map.pt_valid[pts]
+            ids.append(pts[ok])
+            angles.append(self.map.kf_feat_angle[kf, feats[ok]])
+            octaves.append(self.map.kf_feat_octave[kf, feats[ok]].astype(np.int32))
+        if not ids:
+            return None, None
+        ids = np.concatenate(ids)
+        angles = np.concatenate(angles).astype(np.float32)
+        octaves = np.concatenate(octaves).astype(np.int32)
+        ids, first = np.unique(ids, return_index=True)
+        angles = angles[first]
+        octaves = octaves[first]
+        lm, used = snapshot_points(
+            self.map, ids, self.s.feature_slots * 2,
+            angles=angles, octaves=octaves,
+        )
+        return lm, used
+
+    def _fine_local_map(self, matched_ids: np.ndarray):
+        """Local keyframes = observers of currently matched points, ranked by
+        count, then their points (reference: UpdateLocalKeyFrames2 +
+        UpdateLocalPoints, TrackingFine.cpp:221-356)."""
+        if len(matched_ids) == 0:
+            return None, None
+        obs_kfs = self.map.pt_obs_kf[matched_ids].ravel()
+        obs_kfs = obs_kfs[obs_kfs >= 0]
+        counts = np.bincount(obs_kfs, minlength=self.map.max_keyframes)
+        order = np.argsort(-counts)
+        local_kfs = [k for k in order[:15] if counts[k] > 0]
+        # indirect neighbors: covisible KFs of the best local KFs
+        # (randomized in the reference, TrackingFine.cpp:221-324; we take the
+        # deterministic top neighbors in deterministic mode)
+        extra = []
+        for k in local_kfs[:3]:
+            ids, w = self.map.covisible_keyframes(int(k), min_weight=15)
+            extra.extend(ids[:5].tolist())
+        all_kfs = list(dict.fromkeys(local_kfs + extra))
+        pts = []
+        for k in all_kfs:
+            pts.append(self.map.keyframe_points(int(k)))
+        if not pts:
+            return None, None
+        ids = np.unique(np.concatenate(pts))
+        ids = ids[self.map.pt_valid[ids]]
+        if len(ids) > self.s.local_map_slots:
+            ids = ids[: self.s.local_map_slots]
+        lm, used = snapshot_points(self.map, ids, self.s.local_map_slots)
+        return lm, used
+
+    def _track(self, frame: FrameData, T_pred: np.ndarray,
+               stats: TrackStats) -> bool:
+        lm_coarse, coarse_ids = self._coarse_local_map()
+        if lm_coarse is None:
+            return False
+        feats = pad_frame_features(frame, self.s.feature_slots)
+
+        out = coarse_step(
+            lm_coarse, feats, jnp.asarray(T_pred, dtype=jnp.float32),
+            self.cam, self.bf, self.bounds, self.scales, self.log_sf,
+            self.coarse_radius, self.zero, self.zero,
+        )
+        stats.n_coarse_matches = int(out["n_matches"])
+        stats.n_coarse_inliers = int(out["n_inliers"])
+        if not bool(out["ok"]):
+            return False
+        T_coarse = out["T"]
+        assign = np.asarray(out["assign"])[: frame.n]
+        matched_sel = assign >= 0
+        matched_pts = coarse_ids[assign[matched_sel]]
+
+        # ---- fine stage ----
+        lm_fine, fine_ids = self._fine_local_map(np.unique(matched_pts))
+        if lm_fine is None:
+            return False
+        coarse_matched_pad = np.zeros(self.s.feature_slots, dtype=bool)
+        coarse_matched_pad[: frame.n] = matched_sel
+        coarse_pos = np.zeros((self.s.feature_slots, 3), dtype=np.float32)
+        coarse_pos[np.nonzero(coarse_matched_pad)[0]] = self.map.pt_pos[
+            matched_pts
+        ]
+        fout = fine_step(
+            lm_fine, feats, T_coarse,
+            jnp.asarray(coarse_pos), jnp.asarray(coarse_matched_pad),
+            self.cam, self.bf, self.bounds, self.scales, self.log_sf,
+            self.fine_th, jnp.asarray(T_pred, dtype=jnp.float32),
+            self.zero, self.zero,
+        )
+        n_inl = int(fout["n_inliers"])
+        stats.n_fine_inliers = n_inl
+        if n_inl < 25:  # fine_min_pose_optimziation_inliers (Tracking.h:187)
+            return False
+
+        frame.pose_cw = np.asarray(fout["T"], dtype=np.float64)
+        inlier = np.asarray(fout["inlier"])[: frame.n]
+        fine_assign = np.asarray(fout["fine_assign"])[: frame.n]
+        matches = np.full(frame.n, -1, dtype=np.int64)
+        # coarse matches that survived as inliers
+        keep_coarse = matched_sel & inlier
+        matches[keep_coarse] = coarse_ids[assign[keep_coarse]]
+        keep_fine = (fine_assign >= 0) & inlier & ~keep_coarse
+        matches[keep_fine] = fine_ids[fine_assign[keep_fine]]
+        frame.matches = matches
+        frame.outlier = np.zeros(frame.n, dtype=bool)
+        frame.ref_kf = self.last_kf
+
+        # found/visible statistics on the fine local map
+        visible = np.asarray(fout["visible"])[: len(fine_ids)]
+        found = np.asarray(fout["found"])[: len(fine_ids)]
+        self.map.pt_visible[fine_ids[visible]] += 1
+        self.map.pt_found[fine_ids[found]] += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # keyframe decision (KeyframeDecision.cpp:18-180)
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, frame: FrameData):
+        smap = self.map
+        current_matches = int((frame.matches >= 0).sum())
+        if self.s.input_type == InputType.Stereo:
+            m = frame.matches >= 0
+            close = m & (frame.depth > 0) & (frame.depth <= self.s.th_depth)
+            non_close = m & ~close
+            if close.sum() < 90 and non_close.sum() > 60:
+                return True, "Low Stereo"
+            current_matches = current_matches - int(non_close.sum())
+
+        # reference KF match count with >= minObs observations
+        kf = self.last_kf
+        kf_pts = smap.keyframe_points(kf)
+        min_obs = 2 if smap.n_keyframes <= 2 else 3
+        last_kf_matches = max(int((smap.pt_n_obs[kf_pts] >= min_obs).sum()), 1)
+        target_ratio = current_matches / self.s.kfi_target_matches
+        target_kf_ratio = current_matches / last_kf_matches
+
+        # quality classification
+        if current_matches < 50:
+            quality = "SUPER_BAD"
+        elif current_matches < 60 or target_ratio < 0.5 or target_kf_ratio < 0.6:
+            quality = "BAD"
+        elif target_ratio >= 1.3:
+            quality = "VERY_GOOD"
+        elif target_ratio >= 0.8 or target_kf_ratio > 2.0:
+            quality = "GOOD"
+        else:
+            quality = "MEDIUM"
+
+        num_frames_since_kf = frame.frame_id - smap.kf_frame_id[kf]
+        # max-time rule (reference ships WITH_IMU=1: KeyframeDecision.cpp:
+        # 108-114, max_time_between_kf_tracking = 0.5 s)
+        if frame.timestamp - smap.kf_timestamp[kf] >= 0.5:
+            return True, "Time"
+        if quality == "SUPER_BAD":
+            return False, "Super Bad"
+        if quality == "VERY_GOOD":
+            return False, "Very Good"
+
+        # geometry rules
+        med_depth = smap.kf_median_depth[kf] or smap.compute_median_depth(kf)
+        cam_pos = -frame.pose_cw[:3, :3].T @ frame.pose_cw[:3, 3]
+        kf_T = smap.kf_pose[kf]
+        kf_pos = -kf_T[:3, :3].T @ kf_T[:3, 3]
+        baseline = np.linalg.norm(cam_pos - kf_pos)
+        translation_angle = np.degrees(
+            np.arctan2(baseline / 2.0, max(med_depth, 1e-6))
+        )
+        dir1 = frame.pose_cw[:3, :3].T @ np.array([0, 0, 1.0])
+        dir2 = kf_T[:3, :3].T @ np.array([0, 0, 1.0])
+        rotation_angle = np.degrees(
+            np.arccos(np.clip(dir1 @ dir2, -1.0, 1.0))
+        )
+
+        if num_frames_since_kf > 30 and translation_angle > 0.5:
+            return True, "Time"
+        if quality == "GOOD":
+            return False, "Good"
+        if translation_angle > 1 or rotation_angle > 15:
+            return True, "Good Angle"
+        if (translation_angle > 1 or rotation_angle > 10) and quality == "BAD":
+            return True, "Self Rotation"
+        return False, "Default"
+
+    # ------------------------------------------------------------------
+    # loss handling (Tracking.cpp:200-244)
+    # ------------------------------------------------------------------
+
+    def _handle_loss(self, frame: FrameData):
+        if self.map.n_keyframes < 20:
+            # early loss: clear the map and re-initialize
+            self.map.clear()
+            self.state = TrackingState.NOT_INITIALIZED
+            self.last_kf = -1
+            self.last_frame = None
+            self.last_tracked_frame = None
+            self.velocity = np.eye(4)
+            return
+        # mark recent KFs as suspicious for the simplifier
+        recent = self.map.valid_keyframes()[-5:]
+        self.map.kf_cull_factor[recent] = 2.0
+        self.recover_frames += 1
+        self.state = (TrackingState.RECOVERING
+                      if self.recover_frames <= 3 else TrackingState.LOST)
