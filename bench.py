@@ -1,0 +1,94 @@
+"""Benchmark: tracked frames/sec on a synthetic EuRoC-like sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): 500 tracked FPS on one TPU v5e chip with
+ATE within 10% of the reference.  Until real EuRoC data is mountable in this
+environment, the workload is the feature-level synthetic sequence (same
+feature count, image size, and camera as EuRoC cam0; the pipeline path
+exercised — coarse/fine matching, pose GN, keyframe insertion,
+triangulation, LBA — is identical to the dataset path, mirroring the
+reference's feature-cache replay mode, Snake/Preprocess/FeatureDetector.cpp:
+94-139).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_bench(n_frames: int = 200, warmup_frames: int = 30):
+    from snakeslam_tpu.frontend.synthetic_source import (
+        apply_world_to_settings,
+        synthetic_frames,
+    )
+    from snakeslam_tpu.system.settings import InputType, Settings
+    from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
+
+    def build(seed):
+        settings = Settings()
+        settings.input_type = InputType.Stereo
+        settings.feature_slots = 1024
+        settings.local_map_slots = 4096
+        settings.lba_cam_slots = 32
+        settings.lba_point_slots = 8192
+        settings.lba_obs_slots = 8
+        settings.th_depth = 25.0
+        world = SyntheticWorld(n_points=6000, seed=seed)
+        apply_world_to_settings(world, settings)
+        system = SlamSystem(settings)
+        frames = list(synthetic_frames(
+            world, orbit_trajectory(n_frames, radius=7.0, arc=1.2),
+            settings, noise_px=0.3,
+        ))
+        return system, frames
+
+    # warmup: trigger all jit compiles on a short run
+    system, frames = build(seed=123)
+    for f in frames[:warmup_frames]:
+        system.process_frame(f)
+
+    # timed run on a fresh system (same shapes -> compile cache hits)
+    system, frames = build(seed=7)
+    t0 = time.perf_counter()
+    for f in frames:
+        system.process_frame(f)
+    wall = time.perf_counter() - t0
+
+    n_tracked = len(system.tracker.trajectory)
+    fps = n_tracked / wall
+    rmse, scale, n = system.ate_against_gt(with_scale=False)
+    return {
+        "fps": fps,
+        "n_tracked": n_tracked,
+        "n_frames": n_frames,
+        "wall_s": wall,
+        "ate_rmse": rmse,
+        "n_keyframes": system.map.n_keyframes,
+        "n_points": system.map.n_points,
+    }
+
+
+def main():
+    res = run_bench()
+    out = {
+        "metric": "synthetic EuRoC-like tracked FPS (1024 feat, stereo, LBA on)",
+        "value": round(res["fps"], 2),
+        "unit": "frames/s",
+        "vs_baseline": round(res["fps"] / 500.0, 4),
+        "extra": {
+            "ate_rmse_m": (None if np.isnan(res["ate_rmse"])
+                           else round(res["ate_rmse"], 5)),
+            "tracked": res["n_tracked"],
+            "keyframes": res["n_keyframes"],
+            "points": res["n_points"],
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls on float32 inputs default to bf16 passes; the GN/BA normal
+# equations and SE3 chains need true f32.  The Hamming matcher opts into bf16
+# explicitly (exact for 0/1 bit planes), so this costs nothing on the hot
+# matching path.
+_jax.config.update("jax_default_matmul_precision", "highest")

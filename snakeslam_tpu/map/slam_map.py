@@ -91,6 +91,9 @@ class SlamMap:
         self.pt_pos = np.zeros((P, 3))
         self.pt_normal = np.zeros((P, 3), dtype=np.float32)
         self.pt_desc = np.zeros((P, 32), dtype=np.uint8)
+        # unpacked bit planes, kept in sync with pt_desc (device staging
+        # slices this directly instead of re-unpacking per snapshot)
+        self.pt_bits = np.zeros((P, 256), dtype=np.int8)
         self.pt_ref_kf = np.full(P, -1, dtype=np.int32)
         self.pt_ref_depth = np.zeros(P, dtype=np.float32)
         self.pt_ref_level = np.zeros(P, dtype=np.int8)
@@ -155,6 +158,9 @@ class SlamMap:
         self.pt_pos[p] = pos
         self.pt_normal[p] = normal
         self.pt_desc[p] = desc
+        self.pt_bits[p] = np.unpackbits(
+            np.asarray(desc, dtype=np.uint8), bitorder="little"
+        )
         self.pt_ref_kf[p] = ref_kf
         self.pt_ref_depth[p] = ref_depth
         self.pt_ref_level[p] = ref_level
@@ -333,6 +339,7 @@ class SlamMap:
         else:
             best = 0
         self.pt_desc[pt] = descs[best]
+        self.pt_bits[pt] = np.unpackbits(descs[best], bitorder="little")
         cam_centers = -np.einsum(
             "nij,nj->ni", self.kf_pose[kfs, :3, :3].transpose(0, 2, 1),
             self.kf_pose[kfs, :3, 3],

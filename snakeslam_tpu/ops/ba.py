@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from snakeslam_tpu.core import lie
 from snakeslam_tpu.core.camera import Pinhole
 
+import functools
+
 
 class BAProblem(NamedTuple):
     """Fixed-shape BA problem: C camera slots, P point slots, M obs/point."""
@@ -159,6 +161,7 @@ def _rpc_residuals(problem: BAProblem, cam_pose):
 # cost
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def ba_cost(problem: BAProblem, cam: Pinhole, bf, cam_pose, points,
             huber_delta_mono, huber_delta_stereo):
     r, A, B, valid, has_stereo = _point_residuals(
@@ -181,6 +184,11 @@ def ba_cost(problem: BAProblem, cam: Pinhole, bf, cam_pose, points,
 # the LM solver
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "huber_mono", "huber_stereo",
+                     "lm_lambda0", "optimize_points"),
+)
 def solve_ba(
     problem: BAProblem,
     cam: Pinhole,
@@ -343,6 +351,10 @@ def solve_ba(
     return cam_pose, points, cost
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "huber_mono", "huber_stereo"),
+)
 def solve_point_only(
     problem: BAProblem,
     cam: Pinhole,
@@ -378,6 +390,9 @@ def solve_point_only(
     return points
 
 
+@functools.partial(
+    jax.jit, static_argnames=("chi2_mono", "chi2_stereo")
+)
 def classify_outliers(
     problem: BAProblem,
     cam: Pinhole,

@@ -19,6 +19,10 @@ from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.core.pyramid import ScalePyramid
 from snakeslam_tpu.map.slam_map import MAX_OBS, SlamMap
 from snakeslam_tpu.ops import ba as BA
+from snakeslam_tpu.optim.packing import (
+    erase_outlier_observations,
+    pack_observations,
+)
 from snakeslam_tpu.system.settings import Settings
 
 F32 = np.float32
@@ -68,36 +72,10 @@ class GlobalBA:
         points[: len(pts)] = smap.pt_pos[pts]
         point_valid[: len(pts)] = True
 
-        obs_cam = np.full((P, M), -1, dtype=np.int32)
-        obs_uv = np.zeros((P, M, 2), dtype=F32)
-        obs_right = np.full((P, M), -1.0, dtype=F32)
-        obs_weight = np.ones((P, M), dtype=F32)
-        obs_valid = np.zeros((P, M), dtype=bool)
-        obs_feat = np.full((P, M), -1, dtype=np.int32)
-
-        inv_scale = self.pyramid.inv_scales
-        # vectorized packing from the bounded per-point obs tables
-        src_kf = smap.pt_obs_kf[pts][:, :MAX_OBS]
-        src_feat = smap.pt_obs_feat[pts][:, :MAX_OBS]
-        for pi in range(len(pts)):
-            m = 0
-            for s in range(MAX_OBS):
-                k = src_kf[pi, s]
-                if k < 0 or m >= M:
-                    continue
-                slot = cam_slot.get(int(k))
-                if slot is None:
-                    continue
-                f = src_feat[pi, s]
-                obs_cam[pi, m] = slot
-                obs_uv[pi, m] = smap.kf_feat_uv[k, f]
-                obs_right[pi, m] = smap.kf_feat_right[k, f]
-                obs_weight[pi, m] = inv_scale[
-                    min(int(smap.kf_feat_octave[k, f]), len(inv_scale) - 1)
-                ]
-                obs_valid[pi, m] = True
-                obs_feat[pi, m] = f
-                m += 1
+        slot_of_kf = np.full(smap.max_keyframes, -1, dtype=np.int32)
+        slot_of_kf[kfs] = np.arange(len(kfs), dtype=np.int32)
+        obs = pack_observations(smap, pts, slot_of_kf, P, M,
+                                self.pyramid.inv_scales)
 
         problem = BA.BAProblem(
             cam_pose=jnp.asarray(cam_pose),
@@ -105,15 +83,14 @@ class GlobalBA:
             cam_valid=jnp.asarray(cam_valid),
             points=jnp.asarray(points),
             point_valid=jnp.asarray(point_valid),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_right=jnp.asarray(obs_right),
-            obs_weight=jnp.asarray(obs_weight),
-            obs_valid=jnp.asarray(obs_valid),
+            obs_cam=jnp.asarray(obs["obs_cam"]),
+            obs_uv=jnp.asarray(obs["obs_uv"]),
+            obs_right=jnp.asarray(obs["obs_right"]),
+            obs_weight=jnp.asarray(obs["obs_weight"]),
+            obs_valid=jnp.asarray(obs["obs_valid"]),
             **BA.empty_rpc(),
         )
-        aux = dict(kfs=kfs, pts=pts, obs_cam=obs_cam, obs_feat=obs_feat,
-                   obs_valid=obs_valid)
+        aux = dict(kfs=kfs, pts=pts, **obs)
         return problem, aux
 
     # ------------------------------------------------------------------
@@ -155,15 +132,9 @@ class GlobalBA:
             problem, self.cam, self.bf, problem.cam_pose, problem.points,
             chi2_mono=factor * 2.1**2, chi2_stereo=factor * 2.3**2,
         ))
-        removed = 0
-        for pi, mi in zip(*np.nonzero(out & aux["obs_valid"])):
-            slot = aux["obs_cam"][pi, mi]
-            k = int(aux["kfs"][slot])
-            f = int(aux["obs_feat"][pi, mi])
-            smap.remove_observation(k, f)
-            pt = int(aux["pts"][pi])
-            if smap.pt_n_obs[pt] < 2:
-                smap.erase_point(pt)
-            removed += 1
+        removed = erase_outlier_observations(
+            smap, aux["pts"], out, aux["obs_kf_id"], aux["obs_feat"],
+            aux["obs_valid"],
+        )
         smap.state += 1
         return removed

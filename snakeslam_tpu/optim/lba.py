@@ -18,6 +18,10 @@ from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.core.pyramid import ScalePyramid
 from snakeslam_tpu.map.slam_map import SlamMap
 from snakeslam_tpu.ops import ba as BA
+from snakeslam_tpu.optim.packing import (
+    erase_outlier_observations,
+    pack_observations,
+)
 from snakeslam_tpu.system.settings import Settings
 
 F32 = np.float32
@@ -70,7 +74,9 @@ class LocalBA:
         # boundary: other KFs observing those points -> fixed
         obs_kfs = smap.pt_obs_kf[pts].ravel()
         obs_kfs = np.unique(obs_kfs[obs_kfs >= 0])
-        boundary = [int(k) for k in obs_kfs if k not in window]
+        in_window = np.zeros(smap.max_keyframes, dtype=bool)
+        in_window[window] = True
+        boundary = [int(k) for k in obs_kfs if not in_window[k]]
         boundary = boundary[: self.s.lba_cam_slots - len(window)]
         return window, boundary, pts
 
@@ -80,51 +86,29 @@ class LocalBA:
         P = self.s.lba_point_slots
         M = self.s.lba_obs_slots
         cams = window + boundary
-        cam_slot = {k: i for i, k in enumerate(cams)}
 
         cam_pose = np.tile(np.eye(4, dtype=F32), (C, 1, 1))
         cam_fixed = np.ones(C, dtype=bool)
         cam_valid = np.zeros(C, dtype=bool)
-        for i, k in enumerate(cams):
-            cam_pose[i] = smap.kf_pose[k]
-            cam_valid[i] = True
-            cam_fixed[i] = i >= len(window)
+        cam_pose[: len(cams)] = smap.kf_pose[cams]
+        cam_valid[: len(cams)] = True
+        cam_fixed[: len(window)] = False
         # gauge: boundary KFs are the fixed anchors (like the reference);
         # with no boundary, hold the oldest window KF fixed
         if len(boundary) == 0 and len(window) > 1:
             cam_fixed[len(window) - 1] = True
 
+        slot_of_kf = np.full(smap.max_keyframes, -1, dtype=np.int32)
+        slot_of_kf[cams] = np.arange(len(cams), dtype=np.int32)
+
         points = np.zeros((P, 3), dtype=F32)
         point_valid = np.zeros(P, dtype=bool)
-        obs_cam = np.full((P, M), -1, dtype=np.int32)
-        obs_uv = np.zeros((P, M, 2), dtype=F32)
-        obs_right = np.full((P, M), -1.0, dtype=F32)
-        obs_weight = np.ones((P, M), dtype=F32)
-        obs_valid = np.zeros((P, M), dtype=bool)
-        obs_feat = np.full((P, M), -1, dtype=np.int32)  # for outlier erase
-
-        inv_scale = self.pyramid.inv_scales
         npts = len(pts)
         points[:npts] = smap.pt_pos[pts]
         point_valid[:npts] = True
-        for pi, pt in enumerate(pts):
-            kfs, feats = smap.point_observations(int(pt))
-            m = 0
-            for k, f in zip(kfs, feats):
-                if m >= M:
-                    break
-                slot = cam_slot.get(int(k))
-                if slot is None:
-                    continue
-                obs_cam[pi, m] = slot
-                obs_uv[pi, m] = smap.kf_feat_uv[k, f]
-                obs_right[pi, m] = smap.kf_feat_right[k, f]
-                obs_weight[pi, m] = inv_scale[
-                    min(int(smap.kf_feat_octave[k, f]), len(inv_scale) - 1)
-                ]
-                obs_valid[pi, m] = True
-                obs_feat[pi, m] = f
-                m += 1
+
+        obs = pack_observations(smap, pts, slot_of_kf, P, M,
+                                self.pyramid.inv_scales)
 
         problem = BA.BAProblem(
             cam_pose=jnp.asarray(cam_pose),
@@ -132,15 +116,14 @@ class LocalBA:
             cam_valid=jnp.asarray(cam_valid),
             points=jnp.asarray(points),
             point_valid=jnp.asarray(point_valid),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_right=jnp.asarray(obs_right),
-            obs_weight=jnp.asarray(obs_weight),
-            obs_valid=jnp.asarray(obs_valid),
+            obs_cam=jnp.asarray(obs["obs_cam"]),
+            obs_uv=jnp.asarray(obs["obs_uv"]),
+            obs_right=jnp.asarray(obs["obs_right"]),
+            obs_weight=jnp.asarray(obs["obs_weight"]),
+            obs_valid=jnp.asarray(obs["obs_valid"]),
             **BA.empty_rpc(),
         )
-        aux = dict(cams=cams, pts=pts, obs_cam=obs_cam, obs_feat=obs_feat,
-                   obs_valid=obs_valid, n_window=len(window))
+        aux = dict(cams=cams, pts=pts, n_window=len(window), **obs)
         return problem, aux
 
     # ------------------------------------------------------------------
@@ -165,19 +148,13 @@ class LocalBA:
             return
         cam_pose = np.asarray(cam_pose, dtype=np.float64)
         points = np.asarray(points, dtype=np.float64)
-        for i, k in enumerate(aux["cams"][: aux["n_window"]]):
-            smap.kf_pose[k] = cam_pose[i]
+        win = aux["cams"][: aux["n_window"]]
+        smap.kf_pose[win] = cam_pose[: len(win)]
         smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
 
-        # erase chi2-outlier observations
-        out_np = np.asarray(outliers)
-        for pi, mi in zip(*np.nonzero(out_np & aux["obs_valid"])):
-            slot = aux["obs_cam"][pi, mi]
-            k = aux["cams"][slot]
-            f = int(aux["obs_feat"][pi, mi])
-            smap.remove_observation(int(k), f)
-            pt = aux["pts"][pi]
-            if smap.pt_n_obs[pt] < 2:
-                smap.erase_point(int(pt))
+        erase_outlier_observations(
+            smap, aux["pts"], np.asarray(outliers), aux["obs_kf_id"],
+            aux["obs_feat"], aux["obs_valid"],
+        )
         smap.state += 1
         self.n_runs += 1

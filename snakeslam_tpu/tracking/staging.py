@@ -68,7 +68,7 @@ def snapshot_points(
     if n > 0:
         pos[:n] = smap.pt_pos[ids]
         normal[:n] = smap.pt_normal[ids]
-        bits[:n] = unpack_bits_np(smap.pt_desc[ids])
+        bits[:n] = smap.pt_bits[ids]
         ref_depth[:n] = smap.pt_ref_depth[ids]
         ref_level[:n] = (octaves[:n] if octaves is not None
                          else smap.pt_ref_level[ids])

@@ -75,6 +75,9 @@ class Tracker:
 
         # trajectory log: (timestamp, pose_cw, ref_kf) per tracked frame
         self.trajectory: list[FrameData] = []
+        # fine-local-map cache, invalidated on map mutation (map.state)
+        self._fine_cache_state = -1
+        self._fine_cache = (None, None)
 
     # ------------------------------------------------------------------
     # main entry
@@ -263,7 +266,16 @@ class Tracker:
         matched_pts = coarse_ids[assign[matched_sel]]
 
         # ---- fine stage ----
-        lm_fine, fine_ids = self._fine_local_map(np.unique(matched_pts))
+        # the snapshot is immutable between map mutations; reuse it until the
+        # map generation counter moves (the reference instead rebuilds under
+        # the read lock every frame, TrackingFine.cpp:97-138)
+        if self.map.state == self._fine_cache_state:
+            lm_fine, fine_ids = self._fine_cache
+        else:
+            lm_fine, fine_ids = self._fine_local_map(np.unique(matched_pts))
+            if lm_fine is not None:
+                self._fine_cache = (lm_fine, fine_ids)
+                self._fine_cache_state = self.map.state
         if lm_fine is None:
             return False
         coarse_matched_pad = np.zeros(self.s.feature_slots, dtype=bool)
