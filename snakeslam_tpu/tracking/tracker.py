@@ -79,6 +79,16 @@ class Tracker:
         self._fine_cache_state = -1
         self._fine_cache = (None, None)
 
+        if self.is_mono:
+            from snakeslam_tpu.tracking.mono_init import MonoInitializer
+
+            self.mono_initializer = MonoInitializer(
+                settings, quality=settings.initialization_quality,
+                seed=settings.random_seed,
+            )
+        else:
+            self.mono_initializer = None
+
     # ------------------------------------------------------------------
     # main entry
     # ------------------------------------------------------------------
