@@ -21,6 +21,14 @@ _EPS = 1e-8
 # small helpers
 # ---------------------------------------------------------------------------
 
+def safe_norm(v: jax.Array) -> jax.Array:
+    """L2 norm along the last axis with a well-defined (zero) derivative at
+    v == 0 — jnp.linalg.norm produces NaN tangents there under jacfwd/grad."""
+    n2 = jnp.sum(v * v, axis=-1)
+    n = jnp.sqrt(jnp.where(n2 == 0.0, 1.0, n2))
+    return jnp.where(n2 == 0.0, 0.0, n)
+
+
 def hat(w: jax.Array) -> jax.Array:
     """(..., 3) -> (..., 3, 3) skew-symmetric matrix."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -78,7 +86,7 @@ def _x_minus_sin_over_x3(x: jax.Array) -> jax.Array:
 
 def so3_exp(w: jax.Array) -> jax.Array:
     """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (Rodrigues)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = safe_norm(w)
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
@@ -169,7 +177,7 @@ def quat_to_axis_angle(q: jax.Array) -> jax.Array:
     """Unit quaternion (w>=0) -> axis-angle (..., 3)."""
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    vn = safe_norm(v)
     theta = 2.0 * jnp.arctan2(vn, w)
     # theta / sin(theta/2) = theta / vn  (vn = sin(theta/2) for unit quats)
     small = vn < 1e-7
@@ -220,7 +228,7 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     """
     v = xi[..., :3]
     w = xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = safe_norm(w)
     W = hat(w)
     W2 = W @ W
     R = so3_exp(w)
@@ -237,7 +245,7 @@ def se3_log(T: jax.Array) -> jax.Array:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     w = so3_log(R)
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = safe_norm(w)
     W = hat(w)
     W2 = W @ W
     # V^{-1} = I - 1/2 W + (1/theta^2)(1 - A/(2B)) W^2,  A=sinc, B=(1-cos)/th^2
