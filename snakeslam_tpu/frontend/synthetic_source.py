@@ -33,10 +33,18 @@ def synthetic_frames(
     desc_flip_p: float = 0.01,
     n_clutter: int = 50,
     max_features: int = 900,
+    imu: dict | None = None,
 ):
-    """Yield FrameData for each (timestamp, pose_cw) of a trajectory."""
+    """Yield FrameData for each (timestamp, pose_cw) of a trajectory.
+
+    Args:
+      imu: optional dict(t, omega, acc, dt) of IMU samples (see
+        utils/imu_synthetic.synth_imu); each frame carries the samples in
+        (prev_ts, ts].
+    """
     with_depth = settings.input_type == InputType.RGBD
     with_stereo = settings.input_type == InputType.Stereo
+    prev_ts = None
     for i, (ts, pose_cw) in enumerate(trajectory):
         sf = world.observe(
             pose_cw,
@@ -48,7 +56,7 @@ def synthetic_frames(
             with_depth=with_depth or with_stereo,
             with_stereo=with_stereo,
         )
-        yield FrameData(
+        fd = FrameData(
             frame_id=i,
             timestamp=ts,
             uv=sf.uv,
@@ -59,3 +67,11 @@ def synthetic_frames(
             depth=sf.depth,
             gt_pose_cw=sf.pose_cw,
         )
+        if imu is not None and prev_ts is not None:
+            sel = (imu["t"] >= prev_ts - 1e-9) & (imu["t"] < ts - 1e-9)
+            fd.imu_omega = imu["omega"][sel]
+            fd.imu_acc = imu["acc"][sel]
+            fd.imu_dt = imu["dt"][sel]
+            fd.imu_t = imu["t"][sel]
+        prev_ts = ts
+        yield fd

@@ -1,0 +1,400 @@
+"""Decoupled visual-inertial state estimation: the multi-stage initializer.
+
+Host orchestration mirroring the reference's ImuStateSolver state machine
+(reference: Snake/IMU/ImuStateSolver.{h,cpp}):
+  1. INITIALIZING_GYRO_BIAS — iterative global gyro-bias solve over keyframe
+     rotation pairs with an rms gate of 0.008 rad (:170-348; map reset after
+     15 failed iterations).
+  2. INITIALIZING_GRAVITY_SCALE — linear scale/gravity(/acc-bias) solve over
+     keyframe triplets, then rotate the whole map so gravity is canonical,
+     rescale by init_scale, and compute per-keyframe velocities (:352-466).
+  3. OPTIMIZING — staged refinements with the decoupled chain solver and
+     growing accelerometer weight, interleaved with full BA (:86-143).
+
+Raw IMU sample windows are kept per keyframe edge so preintegration can be
+redone whenever the bias estimate changes (RecomputeWeights, :149-166);
+preintegration itself is the jitted scan in ops/imu.py.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.core import lie
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.ops import imu as IMU
+from snakeslam_tpu.system.settings import Settings
+
+F64 = jnp.float64
+GYRO_RMS_GATE = 0.008       # rad (ImuStateSolver.cpp threshold)
+MIN_KF_FOR_GYRO = 8
+MIN_KF_FOR_SCALE = 10
+MAX_GYRO_FAILURES = 15
+REFINE_SCHEDULE = (5.0, 15.0, 25.0, 50.0, 75.0)   # seconds after init
+ACC_WEIGHT_SCHEDULE = (0.1, 0.3, 0.5, 0.8, 1.0)   # fraction of final weight
+
+
+class VIStage(enum.Enum):
+    GYRO_BIAS = 0
+    GRAVITY_SCALE = 1
+    OPTIMIZING = 2
+    DONE = 3
+
+
+@dataclass
+class ImuEdge:
+    """Raw samples + current preintegration between consecutive keyframes."""
+
+    prev_kf: int
+    omega: np.ndarray
+    acc: np.ndarray
+    dt: np.ndarray
+    preint: object = None  # ops.imu.Preint at the current bias
+
+
+class ImuStateSolver:
+    def __init__(self, settings: Settings, smap: SlamMap, gba=None):
+        self.s = settings
+        self.map = smap
+        self.gba = gba
+        self.stage = VIStage.GYRO_BIAS
+        self.edges: dict[int, ImuEdge] = {}  # kf -> edge from its prev KF
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.gravity = np.array([0.0, 0.0, -IMU.GRAVITY])
+        self.gravity_initialized = False
+        self.gyro_initialized = False
+        self.init_scale = 1.0
+        self.gyro_iterations = 0
+        self.init_done_time = -1.0
+        self.refine_idx = 0
+        self.pending_samples: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # runtime weights exposed to tracking/LBA (SnakeGlobal.h:183-185)
+        self.current_gyro_weight = 0.0
+        self.current_acc_weight = 0.0
+        self.map_reset_requested = False
+
+    # ------------------------------------------------------------------
+
+    def clear(self):
+        self.__init__(self.s, self.map, self.gba)
+
+    def add_frame_samples(self, frame: FrameData):
+        if frame.imu_omega is not None and len(frame.imu_omega):
+            t = (frame.imu_t if frame.imu_t is not None
+                 else np.full(len(frame.imu_omega), frame.timestamp))
+            self.pending_samples.append(
+                (frame.imu_omega, frame.imu_acc, frame.imu_dt, t)
+            )
+
+    # ------------------------------------------------------------------
+
+    def process_new_keyframe(self, kf: int, prev_kf: int):
+        """Bind pending samples to the edge prev_kf -> kf and preintegrate
+        (reference: ProcessNewKeyframe, pre-LBA — ImuStateSolver.cpp:44-61)."""
+        if prev_kf < 0 or not self.pending_samples:
+            self.pending_samples = []
+            return
+        omega = np.concatenate([s[0] for s in self.pending_samples])
+        acc = np.concatenate([s[1] for s in self.pending_samples])
+        dt = np.concatenate([s[2] for s in self.pending_samples])
+        ts = np.concatenate([s[3] for s in self.pending_samples])
+        self.pending_samples = []
+        # trim to the keyframe interval (pending may reach back before the
+        # previous keyframe, e.g. across the mono-init bootstrap)
+        t_prev = self.map.kf_timestamp[prev_kf]
+        sel = ts >= t_prev - 1e-9
+        omega, acc, dt = omega[sel], acc[sel], dt[sel]
+        if len(omega) == 0:
+            return
+        edge = ImuEdge(prev_kf=prev_kf, omega=omega, acc=acc, dt=dt)
+        self._preintegrate_edge(edge)
+        self.edges[kf] = edge
+        # propagate velocity estimate
+        if self.gravity_initialized:
+            Rwb_i = self.map.kf_pose[prev_kf][:3, :3].T
+            v_i = self.map.kf_velocity[prev_kf]
+            p_i = -Rwb_i @ self.map.kf_pose[prev_kf][:3, 3]
+            Rj, vj, pj = IMU.predict(
+                edge.preint, jnp.asarray(Rwb_i, F64), jnp.asarray(v_i, F64),
+                jnp.asarray(p_i, F64), jnp.asarray(self.gravity, F64),
+            )
+            self.map.kf_velocity[kf] = np.asarray(vj)
+        self.map.kf_bias_gyro[kf] = self.bg
+        self.map.kf_bias_acc[kf] = self.ba
+
+    def _preintegrate_edge(self, edge: ImuEdge):
+        edge.preint = IMU.preintegrate(
+            jnp.asarray(edge.omega, F64), jnp.asarray(edge.acc, F64),
+            jnp.asarray(edge.dt, F64),
+            jnp.ones(len(edge.omega), dtype=bool),
+            jnp.asarray(self.bg, F64), jnp.asarray(self.ba, F64),
+        )
+
+    def recompute_weights(self):
+        """Re-preintegrate every edge at the current bias
+        (RecomputeWeights parity, ImuStateSolver.cpp:149-166)."""
+        for edge in self.edges.values():
+            self._preintegrate_edge(edge)
+
+    # ------------------------------------------------------------------
+
+    def _chain_keyframes(self):
+        """Consecutive (kf, edge) pairs along the temporal chain, oldest
+        first, for edges whose endpoints are still alive."""
+        out = []
+        for kf, edge in self.edges.items():
+            if self.map.kf_valid[kf] and self.map.kf_valid[edge.prev_kf]:
+                out.append((int(edge.prev_kf), int(kf), edge))
+        out.sort(key=lambda e: self.map.kf_frame_id[e[1]])
+        return out
+
+    def _body_rotations(self, chain):
+        """R_wb at edge endpoints (body == camera for now; T_cb extrinsics
+        hook reserved for real rigs)."""
+        R_i = np.stack([self.map.kf_pose[i][:3, :3].T for i, j, _ in chain])
+        R_j = np.stack([self.map.kf_pose[j][:3, :3].T for i, j, _ in chain])
+        return R_i, R_j
+
+    # ------------------------------------------------------------------
+
+    def update_map(self):
+        """The init state machine (UpdateMap, ImuStateSolver.cpp:73-146).
+        Called after LBA for every keyframe."""
+        if self.stage == VIStage.GYRO_BIAS:
+            self._stage_gyro()
+        elif self.stage == VIStage.GRAVITY_SCALE:
+            self._stage_gravity_scale()
+        elif self.stage == VIStage.OPTIMIZING:
+            self._stage_refine()
+
+    def _stage_gyro(self):
+        chain = self._chain_keyframes()
+        if len(chain) < MIN_KF_FOR_GYRO:
+            return
+        R_i, R_j = self._body_rotations(chain)
+        valid = np.ones(len(chain), dtype=bool)
+        for it in range(5):
+            dRs = np.stack([np.asarray(e.preint.dR) for _, _, e in chain])
+            Js = np.stack([np.asarray(e.preint.J_R_bg) for _, _, e in chain])
+            # outlier-edge rejection by rotational error (the reference
+            # removes outlier KFs during gyro init, ImuStateSolver.cpp:240+)
+            rel = np.swapaxes(dRs, 1, 2) @ np.swapaxes(R_i, 1, 2) @ R_j
+            r = np.asarray(lie.so3_log(jnp.asarray(rel, F64)))
+            errs = np.linalg.norm(r, axis=1)
+            med = np.median(errs[valid]) if valid.any() else 0.0
+            valid = errs <= max(3.0 * med, 2.0 * GYRO_RMS_GATE) + 1e-12
+            if valid.sum() < 4:
+                valid[:] = True
+            dbg, rms = IMU.solve_gyro_bias(
+                jnp.asarray(R_i, F64), jnp.asarray(R_j, F64),
+                jnp.asarray(dRs, F64), jnp.asarray(Js, F64),
+                jnp.asarray(valid),
+            )
+            self.bg = self.bg + np.asarray(dbg)
+            self.recompute_weights()
+        self.gyro_iterations += 1
+        rms = float(rms)
+        if rms < GYRO_RMS_GATE:
+            self.gyro_initialized = True
+            self.current_gyro_weight = self.s.weight_gyro_optimization
+            self.stage = VIStage.GRAVITY_SCALE
+        elif self.gyro_iterations > MAX_GYRO_FAILURES:
+            # the map is inconsistent with the IMU: request a reset
+            # (ImuStateSolver.cpp:277-280)
+            self.map_reset_requested = True
+            self.gyro_iterations = 0
+
+    def _stage_gravity_scale(self):
+        chain = self._chain_keyframes()
+        if len(chain) < MIN_KF_FOR_SCALE:
+            return
+        # consecutive-edge triplets need edge j's end == edge j+1's start
+        ok = all(chain[k][1] == chain[k + 1][0] for k in range(len(chain) - 1))
+        if not ok:
+            return
+        R = np.stack(
+            [self.map.kf_pose[chain[0][0]][:3, :3].T]
+            + [self.map.kf_pose[j][:3, :3].T for _, j, _ in chain]
+        )
+        p = np.stack(
+            [-R[0] @ self.map.kf_pose[chain[0][0]][:3, 3]]
+            + [-self.map.kf_pose[j][:3, :3].T @ self.map.kf_pose[j][:3, 3]
+               for _, j, _ in chain]
+        )
+        pre = [e.preint for _, _, e in chain]
+        dt = np.array([float(x.dt) for x in pre])
+        dp = np.stack([np.asarray(x.dp) for x in pre])
+        dv = np.stack([np.asarray(x.dv) for x in pre])
+        s1, g1, _, _ = IMU.solve_scale_gravity(
+            jnp.asarray(R, F64), jnp.asarray(p, F64),
+            jnp.asarray(dt[:-1], F64), jnp.asarray(dt[1:], F64),
+            jnp.asarray(dp[:-1], F64), jnp.asarray(dp[1:], F64),
+            jnp.asarray(dv[:-1], F64),
+            jnp.ones(len(pre) - 1, dtype=bool),
+        )
+        # NOTE: the joint scale/gravity/acc-bias solve is ill-conditioned on
+        # short chains with noisy visual poses (ba absorbs scale), so the
+        # initial application uses the bias-free estimate; acc bias is
+        # estimated later by the regularized chain refinement — mirroring
+        # the reference's staging (scale/gravity first, ACC_BIAS stage
+        # afterwards, ImuStateSolver.h:43-53).
+        s_est = float(s1)
+        g_est = np.asarray(g1, dtype=np.float64)
+        if s_est <= 1e-3 or not np.isfinite(g_est).all():
+            return
+        g_mag = np.linalg.norm(g_est)
+        if abs(g_mag - IMU.GRAVITY) > 0.15 * IMU.GRAVITY:
+            return  # not converged yet; wait for more keyframes
+        self.init_scale = s_est
+
+        # ---- apply: rotate gravity to canonical, rescale the map ----
+        g_dir = g_est / g_mag
+        canonical = np.array([0.0, 0.0, -1.0])
+        axis = np.cross(g_dir, canonical)
+        sa = np.linalg.norm(axis)
+        ca = float(np.dot(g_dir, canonical))
+        if sa < 1e-9:
+            R_align = np.eye(3) if ca > 0 else -np.eye(3)
+        else:
+            w = axis / sa * np.arctan2(sa, ca)
+            R_align = np.asarray(lie.so3_exp(jnp.asarray(w, F64)))
+        self.map.transform(s_est, R_align, np.zeros(3))
+        self.gravity = np.array([0.0, 0.0, -IMU.GRAVITY])
+        self.gravity_initialized = True
+
+        # velocities in the new (metric, gravity-aligned) frame
+        chain = self._chain_keyframes()
+        R = np.stack(
+            [self.map.kf_pose[chain[0][0]][:3, :3].T]
+            + [self.map.kf_pose[j][:3, :3].T for _, j, _ in chain]
+        )
+        p = np.stack(
+            [-R[0] @ self.map.kf_pose[chain[0][0]][:3, 3]]
+            + [-self.map.kf_pose[j][:3, :3].T @ self.map.kf_pose[j][:3, 3]
+               for _, j, _ in chain]
+        )
+        self.recompute_weights()
+        pre = [e.preint for _, _, e in chain]
+        vel = IMU.velocities_from_pairs(
+            jnp.asarray(R, F64), jnp.asarray(p, F64),
+            jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
+            jnp.stack([x.dp for x in pre]),
+            jnp.ones(len(pre), dtype=bool),
+            jnp.float64(1.0), jnp.asarray(self.gravity, F64),
+        )
+        ids = [chain[0][0]] + [j for _, j, _ in chain]
+        self.map.kf_velocity[ids] = np.asarray(vel)
+
+        self.current_acc_weight = (
+            ACC_WEIGHT_SCHEDULE[0] * self.s.weight_acc_optimization
+        )
+        self.init_done_time = self.map.kf_timestamp[ids[-1]]
+        self.stage = VIStage.OPTIMIZING
+
+    def _stage_refine(self):
+        chain = self._chain_keyframes()
+        if len(chain) < 3 or self.refine_idx >= len(REFINE_SCHEDULE):
+            if self.refine_idx >= len(REFINE_SCHEDULE):
+                self.stage = VIStage.DONE
+            return
+        newest_t = self.map.kf_timestamp[chain[-1][1]]
+        if newest_t - self.init_done_time < REFINE_SCHEDULE[self.refine_idx]:
+            return
+        self._solve_chain(solve_scale=True)
+        self.current_acc_weight = (
+            ACC_WEIGHT_SCHEDULE[
+                min(self.refine_idx, len(ACC_WEIGHT_SCHEDULE) - 1)
+            ] * self.s.weight_acc_optimization
+        )
+        if self.gba is not None:
+            self.gba.full_ba(iterations=3)
+        self.refine_idx += 1
+
+    # ------------------------------------------------------------------
+
+    def _solve_chain(self, solve_scale: bool = False):
+        chain = self._chain_keyframes()
+        if len(chain) < 3:
+            return
+        ids = [chain[0][0]] + [j for _, j, _ in chain]
+        R = np.stack([self.map.kf_pose[k][:3, :3].T for k in ids])
+        p = np.stack(
+            [-self.map.kf_pose[k][:3, :3].T @ self.map.kf_pose[k][:3, 3]
+             for k in ids]
+        )
+        pre = [e.preint for _, _, e in chain]
+        ch = IMU.ImuChain(
+            R=jnp.asarray(R, F64),
+            p=jnp.asarray(p, F64),
+            v=jnp.asarray(self.map.kf_velocity[ids], F64),
+            dt=jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
+            dR=jnp.stack([x.dR for x in pre]),
+            dv=jnp.stack([x.dv for x in pre]),
+            dp=jnp.stack([x.dp for x in pre]),
+            J_R_bg=jnp.stack([x.J_R_bg for x in pre]),
+            J_v_bg=jnp.stack([x.J_v_bg for x in pre]),
+            J_v_ba=jnp.stack([x.J_v_ba for x in pre]),
+            J_p_bg=jnp.stack([x.J_p_bg for x in pre]),
+            J_p_ba=jnp.stack([x.J_p_ba for x in pre]),
+            edge_valid=jnp.ones(len(pre), dtype=bool),
+        )
+        out = IMU.solve_imu_chain(
+            ch, jnp.asarray(self.bg, F64), jnp.asarray(self.ba, F64),
+            jnp.asarray(self.gravity, F64), jnp.float64(1.0),
+            solve_scale=solve_scale, iterations=4,
+            prior_bias_weight=10.0,
+        )
+        self.bg = np.asarray(out["bg"], dtype=np.float64)
+        self.ba = np.asarray(out["ba"], dtype=np.float64)
+        s = float(out["s"])
+        if not np.isfinite(s) or abs(np.log(max(s, 1e-9))) > np.log(1.5):
+            return  # refinement diverged; keep the current state
+        self.map.kf_velocity[ids] = np.asarray(out["v"])
+        g_new = np.asarray(out["g"], dtype=np.float64)
+        # re-canonicalize gravity + scale onto the map
+        if solve_scale and abs(s - 1.0) > 1e-4:
+            g_dir = g_new / np.linalg.norm(g_new)
+            canonical = np.array([0.0, 0.0, -1.0])
+            axis = np.cross(g_dir, canonical)
+            sa = np.linalg.norm(axis)
+            ca = float(np.dot(g_dir, canonical))
+            if sa < 1e-9:
+                R_align = np.eye(3)
+            else:
+                w = axis / sa * np.arctan2(sa, ca)
+                R_align = np.asarray(lie.so3_exp(jnp.asarray(w, F64)))
+            self.map.transform(s, R_align, np.zeros(3))
+            self.map.kf_velocity[ids] = (
+                np.asarray(out["v"]) @ R_align.T
+            )
+        self.recompute_weights()
+
+    # ------------------------------------------------------------------
+    # LBA relative-pose (gyro) constraints
+    # ------------------------------------------------------------------
+
+    def rpc_for_window(self, window: list[int]):
+        """Relative rotation constraints between consecutive window KFs
+        (the reference builds these in MakeLocalScene,
+        LocalBundleAdjustment.cpp:295-347, weight current_gyro_weight/dt)."""
+        if not self.gyro_initialized or self.current_gyro_weight <= 0:
+            return None
+        in_window = set(window)
+        rpc = []
+        for kf, edge in self.edges.items():
+            if kf in in_window and edge.prev_kf in in_window:
+                dR = np.asarray(edge.preint.dR)
+                # camera-frame relative pose from the preintegrated rotation:
+                # T_j T_i^-1 has rotation R_cw_j R_wc_i = (R_wb_j)^T R_wb_i
+                # = (R_wb_i dR)^T R_wb_i ... = dR^T in body; body == camera
+                T = np.eye(4)
+                T[:3, :3] = dR.T
+                w_rot = self.current_gyro_weight / max(float(edge.preint.dt),
+                                                       1e-3)
+                rpc.append((edge.prev_kf, kf, T, 0.0, w_rot))
+        return rpc or None

@@ -42,6 +42,12 @@ class FrameData:
     depth: np.ndarray        # (n,) metric depth or -1
     gt_pose_cw: np.ndarray | None = None  # (4,4) ground truth (eval only)
 
+    # IMU samples covering (previous frame, this frame]
+    imu_omega: np.ndarray | None = None   # (s, 3) rad/s
+    imu_acc: np.ndarray | None = None     # (s, 3) m/s^2
+    imu_dt: np.ndarray | None = None      # (s,)
+    imu_t: np.ndarray | None = None       # (s,) sample start times
+
     # tracking state (filled by the tracker)
     pose_cw: np.ndarray | None = None     # (4, 4) world->camera
     matches: np.ndarray | None = None     # (n,) point id or -1
@@ -110,6 +116,11 @@ class SlamMap:
         self._free_kfs: list[int] = []
         self.state = 0  # generation counter (Map.h:139 mapState analog)
         self.lock = threading.RLock()
+        # callbacks invoked after a whole-map Sim3 transform with (s, R, t) —
+        # the reference avoids this by storing frame poses relative to their
+        # reference keyframe (Frame.h:94-98); with absolute storage the
+        # tracker must rebase its state explicitly
+        self.on_transform: list = []
 
     # ------------------------------------------------------------------
     # allocation
@@ -406,6 +417,8 @@ class SlamMap:
             self.kf_pose[k] = T
         self.kf_velocity[ks] *= s
         self.state += 1
+        for cb in self.on_transform:
+            cb(s, R, t)
 
     def reprojection_stats(self, fx, fy, cx, cy):
         """Global reprojection RMSE over all observations
@@ -427,4 +440,17 @@ class SlamMap:
         return float(np.sqrt(np.concatenate(errs).mean()))
 
     def clear(self):
+        listeners = self.on_transform
         self.__init__(self.max_keyframes, self.max_points, self.max_features)
+        self.on_transform = listeners
+
+
+def transform_pose_cw(T: np.ndarray, s: float, R: np.ndarray,
+                      t: np.ndarray) -> np.ndarray:
+    """Rebase a world->camera pose under the world Sim3 x' = s R x + t:
+    R_cw' = R_cw R^T,  t_cw' = s t_cw - R_cw R^T t."""
+    out = T.copy()
+    Rn = T[:3, :3] @ R.T
+    out[:3, :3] = Rn
+    out[:3, 3] = s * T[:3, 3] - Rn @ t
+    return out

@@ -27,10 +27,11 @@ from snakeslam_tpu.tracking.staging import pad_frame_features
 
 class LocalMapper:
     def __init__(self, settings: Settings, smap: SlamMap, lba=None,
-                 backends=None):
+                 backends=None, imu_solver=None):
         self.s = settings
         self.map = smap
         self.lba = lba
+        self.imu_solver = imu_solver
         self.backends = backends or []  # further queues (simplification, ...)
         self.recent_points: list[tuple[int, int]] = []  # (pt, created_at_kf)
         self.pyramid = ScalePyramid.create(settings.fd_levels,
@@ -79,8 +80,13 @@ class LocalMapper:
         self._triangulate_new_points(kf)
         for pt in self.map.keyframe_points(kf):
             self.map.update_point_descriptor_and_normal(int(pt))
+        # IMU preintegration hook runs BEFORE LBA (LocalMapping.cpp:86-90)
+        if self.imu_solver is not None:
+            self.imu_solver.process_new_keyframe(kf, int(self.map.kf_prev[kf]))
         if self.lba is not None:
             self.lba.add(kf)
+        if self.imu_solver is not None:
+            self.imu_solver.update_map()
         for b in self.backends:
             b.add(kf)
 

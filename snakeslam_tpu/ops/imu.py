@@ -287,7 +287,9 @@ class ImuChain(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("solve_bg", "solve_ba", "solve_velocity",
-                     "solve_gravity", "solve_scale", "iterations"),
+                     "solve_gravity", "solve_scale", "iterations",
+                     "weight_R", "weight_P", "weight_V",
+                     "prior_bias_weight"),
 )
 def solve_imu_chain(
     chain: ImuChain,

@@ -28,7 +28,8 @@ F32 = np.float32
 
 
 class LocalBA:
-    def __init__(self, settings: Settings, smap: SlamMap):
+    def __init__(self, settings: Settings, smap: SlamMap, imu_solver=None):
+        self.imu_solver = imu_solver
         self.s = settings
         self.map = smap
         self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
@@ -110,6 +111,25 @@ class LocalBA:
         obs = pack_observations(smap, pts, slot_of_kf, P, M,
                                 self.pyramid.inv_scales)
 
+        # IMU relative-rotation constraints between consecutive window KFs
+        # (LocalBundleAdjustment.cpp:295-347)
+        R_slots = C
+        rpc_i = np.zeros(R_slots, dtype=np.int32)
+        rpc_j = np.zeros(R_slots, dtype=np.int32)
+        rpc_T = np.tile(np.eye(4, dtype=F32), (R_slots, 1, 1))
+        rpc_w = np.zeros((R_slots, 6), dtype=F32)
+        rpc_valid = np.zeros(R_slots, dtype=bool)
+        if self.imu_solver is not None:
+            rpc = self.imu_solver.rpc_for_window(window)
+            if rpc:
+                for r, (ki, kj, T, w_t, w_r) in enumerate(rpc[:R_slots]):
+                    rpc_i[r] = slot_of_kf[ki]
+                    rpc_j[r] = slot_of_kf[kj]
+                    rpc_T[r] = T
+                    rpc_w[r, :3] = w_t
+                    rpc_w[r, 3:] = w_r
+                    rpc_valid[r] = True
+
         problem = BA.BAProblem(
             cam_pose=jnp.asarray(cam_pose),
             cam_fixed=jnp.asarray(cam_fixed),
@@ -121,7 +141,11 @@ class LocalBA:
             obs_right=jnp.asarray(obs["obs_right"]),
             obs_weight=jnp.asarray(obs["obs_weight"]),
             obs_valid=jnp.asarray(obs["obs_valid"]),
-            **BA.empty_rpc(),
+            rpc_i=jnp.asarray(rpc_i),
+            rpc_j=jnp.asarray(rpc_j),
+            rpc_T=jnp.asarray(rpc_T),
+            rpc_weight=jnp.asarray(rpc_w),
+            rpc_valid=jnp.asarray(rpc_valid),
         )
         aux = dict(cams=cams, pts=pts, n_window=len(window), **obs)
         return problem, aux

@@ -27,10 +27,20 @@ class SlamSystem:
         self.s = settings
         self.map = SlamMap(settings.max_keyframes, settings.max_points,
                            settings.feature_slots)
-        self.lba = LocalBA(settings, self.map)
-        self.local_mapper = LocalMapper(settings, self.map, lba=self.lba)
+        self.imu_solver = None
+        if settings.enable_imu:
+            from snakeslam_tpu.imu.state_solver import ImuStateSolver
+            from snakeslam_tpu.optim.gba import GlobalBA
+
+            self.imu_solver = ImuStateSolver(
+                settings, self.map, gba=GlobalBA(settings, self.map)
+            )
+        self.lba = LocalBA(settings, self.map, imu_solver=self.imu_solver)
+        self.local_mapper = LocalMapper(settings, self.map, lba=self.lba,
+                                        imu_solver=self.imu_solver)
         self.tracker = Tracker(settings, self.map,
-                               local_mapper=self.local_mapper)
+                               local_mapper=self.local_mapper,
+                               imu_solver=self.imu_solver)
         self.stats = PerformanceStats()
         self.n_frames = 0
 

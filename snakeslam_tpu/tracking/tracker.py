@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.core.pyramid import ScalePyramid
-from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+from snakeslam_tpu.map.slam_map import FrameData, SlamMap, transform_pose_cw
 from snakeslam_tpu.models.tracking_step import coarse_step, fine_step
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import pad_frame_features, snapshot_points
@@ -42,10 +42,12 @@ class TrackStats:
 
 
 class Tracker:
-    def __init__(self, settings: Settings, smap: SlamMap, local_mapper=None):
+    def __init__(self, settings: Settings, smap: SlamMap, local_mapper=None,
+                 imu_solver=None):
         self.s = settings
         self.map = smap
         self.local_mapper = local_mapper
+        self.imu_solver = imu_solver
         self.state = TrackingState.NOT_INITIALIZED
         self.pyramid = ScalePyramid.create(settings.fd_levels,
                                            settings.fd_scale_factor)
@@ -75,6 +77,7 @@ class Tracker:
 
         # trajectory log: (timestamp, pose_cw, ref_kf) per tracked frame
         self.trajectory: list[FrameData] = []
+        smap.on_transform.append(self._on_map_transform)
         # fine-local-map cache, invalidated on map mutation (map.state)
         self._fine_cache_state = -1
         self._fine_cache = (None, None)
@@ -89,12 +92,38 @@ class Tracker:
         else:
             self.mono_initializer = None
 
+    def _on_map_transform(self, s, R, t):
+        """Rebase tracker state after a whole-map Sim3 (the reference's
+        equivalent is StatePredictor::Rescale + relative pose storage,
+        StatePredictor.cpp:206-216)."""
+        for f in self.trajectory:
+            if f.pose_cw is not None:
+                f.pose_cw = transform_pose_cw(f.pose_cw, s, R, t)
+        for f in (self.last_frame,):
+            if (f is not None and f.pose_cw is not None
+                    and f not in self.trajectory):
+                f.pose_cw = transform_pose_cw(f.pose_cw, s, R, t)
+        self.velocity = self.velocity.copy()
+        self.velocity[:3, 3] *= s  # relative rotation invariant; trans scales
+
     # ------------------------------------------------------------------
     # main entry
     # ------------------------------------------------------------------
 
     def process_frame(self, frame: FrameData) -> TrackStats:
         stats = TrackStats(state=self.state)
+        if self.imu_solver is not None:
+            self.imu_solver.add_frame_samples(frame)
+            if self.imu_solver.map_reset_requested:
+                # VI init declared the map inconsistent: full reset
+                # (ImuStateSolver.cpp:277-280)
+                self.map.clear()
+                self.imu_solver.clear()
+                self.state = TrackingState.NOT_INITIALIZED
+                self.last_kf = -1
+                self.last_frame = None
+                self.last_tracked_frame = None
+                self.velocity = np.eye(4)
         if self.state == TrackingState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             if ok:
@@ -107,12 +136,35 @@ class Tracker:
                 self.trajectory.append(frame)
             return stats
 
-        # ---- prediction (constant velocity; StatePredictor analog) ----
+        # ---- prediction (StatePredictor analog: constant-velocity motion
+        # model fused with the gyro preintegration, StatePredictor.cpp:18-102)
         T_pred = self.velocity @ self.last_frame.pose_cw if (
             self.last_frame is not None and self.last_frame.pose_cw is not None
-        ) else self.map.kf_pose[self.last_kf]
+        ) else self.map.kf_pose[self.last_kf].copy()
+        prior_w_rot = 0.0
+        if (self.imu_solver is not None and self.imu_solver.gyro_initialized
+                and frame.imu_omega is not None and len(frame.imu_omega)
+                and self.last_frame is not None
+                and self.last_frame.pose_cw is not None):
+            import jax.numpy as _jnp
+            from snakeslam_tpu.ops import imu as _IMU
 
-        ok = self._track(frame, T_pred, stats)
+            pre = _IMU.preintegrate(
+                _jnp.asarray(frame.imu_omega, _jnp.float64),
+                _jnp.asarray(frame.imu_acc, _jnp.float64),
+                _jnp.asarray(frame.imu_dt, _jnp.float64),
+                _jnp.ones(len(frame.imu_omega), dtype=bool),
+                _jnp.asarray(self.imu_solver.bg, _jnp.float64),
+                _jnp.asarray(self.imu_solver.ba, _jnp.float64),
+            )
+            dR = np.asarray(pre.dR)
+            # body == camera: R_cw_new = dR^T @ R_cw_last
+            T_pred = T_pred.copy()
+            T_pred[:3, :3] = dR.T @ self.last_frame.pose_cw[:3, :3]
+            dt = max(float(pre.dt), 1e-3)
+            prior_w_rot = self.s.weight_gyro_tracking / dt
+
+        ok = self._track(frame, T_pred, stats, prior_w_rot=prior_w_rot)
         if ok:
             self.state = TrackingState.OK
             # update the motion model
@@ -255,16 +307,17 @@ class Tracker:
         return lm, used
 
     def _track(self, frame: FrameData, T_pred: np.ndarray,
-               stats: TrackStats) -> bool:
+               stats: TrackStats, prior_w_rot: float = 0.0) -> bool:
         lm_coarse, coarse_ids = self._coarse_local_map()
         if lm_coarse is None:
             return False
         feats = pad_frame_features(frame, self.s.feature_slots)
 
+        w_rot = jnp.float32(prior_w_rot)
         out = coarse_step(
             lm_coarse, feats, jnp.asarray(T_pred, dtype=jnp.float32),
             self.cam, self.bf, self.bounds, self.scales, self.log_sf,
-            self.coarse_radius, self.zero, self.zero,
+            self.coarse_radius, w_rot, self.zero,
         )
         stats.n_coarse_matches = int(out["n_matches"])
         stats.n_coarse_inliers = int(out["n_inliers"])
@@ -299,7 +352,7 @@ class Tracker:
             jnp.asarray(coarse_pos), jnp.asarray(coarse_matched_pad),
             self.cam, self.bf, self.bounds, self.scales, self.log_sf,
             self.fine_th, jnp.asarray(T_pred, dtype=jnp.float32),
-            self.zero, self.zero,
+            w_rot, self.zero,
         )
         n_inl = int(fout["n_inliers"])
         stats.n_fine_inliers = n_inl

@@ -14,11 +14,20 @@ from snakeslam_tpu.utils.synthetic import lookat_pose_cw
 G_WORLD = np.array([0.0, 0.0, -9.81])  # gravity vector (down = -z)
 
 
-def orbit_pose_wb(t, radius=6.0, height=0.5, ang_vel=0.25):
-    """Continuous orbit: returns (R_wb, p_w) of the body at time t."""
+def orbit_pose_wb(t, radius=6.0, height=0.5, ang_vel=0.25,
+                  excitation=0.25):
+    """Continuous orbit with accelerometer excitation wiggles.
+
+    The fast radial/vertical oscillations (~1-2 m/s^2) make metric scale
+    observable for VI initialization — mirroring the hand-held excitation
+    at the start of the EuRoC sequences.
+    """
     a = ang_vel * t
+    r = radius + excitation * np.sin(2.1 * t)
     eye = np.array([
-        radius * np.sin(a), height * np.sin(2.5 * a), -radius * np.cos(a)
+        r * np.sin(a),
+        height * np.sin(2.5 * a) + 0.6 * excitation * np.sin(3.3 * t),
+        -r * np.cos(a),
     ])
     T_cw = lookat_pose_cw(eye, np.zeros(3))
     T_wc = np.linalg.inv(T_cw)
