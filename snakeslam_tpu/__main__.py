@@ -1,0 +1,63 @@
+"""CLI entry point: ``python -m snakeslam_tpu <config.ini> [options]``.
+
+Mirrors the reference's ``snake_slam <config.ini> [--dataset --name
+--outDir]`` (reference: Snake/main.cpp:29-44): load settings (with
+write-back of missing defaults), apply per-dataset presets and CLI
+overrides, run the system over the dataset, write TUM trajectories, print
+the statistics tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="snakeslam_tpu")
+    ap.add_argument("config", help="INI config file (created if missing)")
+    ap.add_argument("--dataset", default=None, help="dataset directory")
+    ap.add_argument("--name", default=None, help="output file prefix")
+    ap.add_argument("--outDir", default=None, help="evaluation output dir")
+    ap.add_argument("--maxFrames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from snakeslam_tpu.system.settings import Settings
+    from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.frontend.input import Input
+
+    settings = Settings.from_ini(args.config)
+    settings.set_default_parameters_for_dataset()
+    if args.dataset:
+        settings.dataset.dataset_dir = args.dataset
+    if args.name:
+        settings.out_file_prefix = args.name
+    if args.outDir:
+        settings.eval_dir = args.outDir
+    if args.maxFrames is not None:
+        settings.dataset.max_frames = args.maxFrames
+    if not settings.dataset.dataset_dir:
+        print("no dataset directory configured", file=sys.stderr)
+        return 2
+
+    inp = Input(settings, dataset_root=settings.dataset.dataset_dir)
+    system = SlamSystem(settings)
+    wall = system.run(iter(inp))
+
+    out_dir = Path(settings.eval_dir)
+    system.write_trajectories(out_dir)
+    n = len(system.tracker.trajectory)
+    print(f"tracked {n} frames in {wall:.1f}s "
+          f"({n / max(wall, 1e-9):.1f} fps)")
+    print(f"keyframes: {system.map.n_keyframes}  "
+          f"points: {system.map.n_points}")
+    print(system.stats.table())
+    rmse, scale, n_gt = system.ate_against_gt()
+    if n_gt:
+        print(f"ATE RMSE (Sim3): {rmse:.4f} m  scale {scale:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
