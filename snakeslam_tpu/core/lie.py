@@ -303,6 +303,72 @@ def sim3_inverse(S: jax.Array) -> jax.Array:
     return sim3(sinv, Rt, -(sinv[..., None] * (Rt @ t[..., None])[..., 0]))
 
 
+def _sim3_W_coeffs(sigma: jax.Array, theta: jax.Array):
+    """Coefficients (a, b, c) of the Sim3 W-matrix
+    Wm = a I + b hat(w) + c hat(w)^2 (Strasdat's Sim3 exponential)."""
+    s = jnp.exp(sigma)
+    eps = 1e-5
+    sig_small = jnp.abs(sigma) < eps
+    sig_safe = jnp.where(sig_small, 1.0, sigma)
+    a = jnp.where(sig_small, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
+                  (s - 1.0) / sig_safe)
+
+    th_small = theta < eps
+    th = jnp.where(th_small, 1.0, theta)
+    th2 = th * th
+    denom = sigma * sigma + th2
+    denom = jnp.where(denom < 1e-12, 1.0, denom)
+    c_cos = s * jnp.cos(th)
+    c_sin = s * jnp.sin(th)
+    b_gen = (sigma * c_sin + (1.0 - c_cos) * th) / (th * denom)
+    c_gen = (a - ((c_cos - 1.0) * sigma + c_sin * th) / denom) / th2
+
+    b_th0 = jnp.where(
+        sig_small, 0.5 + sigma / 3.0,
+        (sigma * s - s + 1.0) / (sig_safe * sig_safe),
+    )
+    c_th0 = jnp.where(
+        sig_small, 1.0 / 6.0 + sigma / 8.0,
+        ((0.5 * sigma * sigma - sigma + 1.0) * s - 1.0
+         - 0.5 * sigma * sigma) / (sig_safe**3),
+    )
+    b = jnp.where(th_small, b_th0, b_gen)
+    c = jnp.where(th_small, c_th0, c_gen)
+    return a, b, c
+
+
+def _sim3_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
+    theta = safe_norm(w)
+    a, b, c = _sim3_W_coeffs(sigma, theta)
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return (a[..., None, None] * eye + b[..., None, None] * W
+            + c[..., None, None] * W2)
+
+
+def sim3_exp(xi: jax.Array) -> jax.Array:
+    """Sim3 tangent (..., 7) = (v[3], w[3], sigma) -> (..., 4, 4) with sR."""
+    v = xi[..., :3]
+    w = xi[..., 3:6]
+    sigma = xi[..., 6]
+    Wm = _sim3_W(w, sigma)
+    t = (Wm @ v[..., None])[..., 0]
+    return sim3(jnp.exp(sigma), so3_exp(w), t)
+
+
+def sim3_log(S: jax.Array) -> jax.Array:
+    """(..., 4, 4) Sim3 -> tangent (..., 7) = (v, w, sigma)."""
+    s = sim3_scale(S)
+    R = sim3_rotation(S)
+    t = S[..., :3, 3]
+    sigma = jnp.log(s)
+    w = so3_log(R)
+    Wm = _sim3_W(w, sigma)
+    v = jnp.linalg.solve(Wm, t[..., None])[..., 0]
+    return jnp.concatenate([v, w, sigma[..., None]], axis=-1)
+
+
 def se3_to_sim3(T: jax.Array) -> jax.Array:
     return T
 

@@ -1,0 +1,86 @@
+"""Keyframe database: BoW retrieval for loop detection and relocalization.
+
+Replacement for the reference's inverted-file KeyframeDatabase (reference:
+Snake/LoopClosing/KeyframeDatabase.{h,cpp}): with dense tf-idf BoW vectors
+the inverted file becomes one similarity matrix product over all stored
+keyframes — idiomatic for the MXU, and the share-word / ratio / min-score /
+covisibility-accumulation gates (:58-170) become vector masks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.map.slam_map import SlamMap
+from snakeslam_tpu.ops import bow as BOW
+
+
+class KeyframeDatabase:
+    def __init__(self, voc: BOW.Vocabulary, smap: SlamMap):
+        self.voc = voc
+        self.map = smap
+        self.vectors = np.zeros((smap.max_keyframes, voc.n_words),
+                                dtype=np.float32)
+        self.words: dict[int, np.ndarray] = {}
+        self.present = np.zeros(smap.max_keyframes, dtype=bool)
+
+    # ------------------------------------------------------------------
+
+    def compute_frame_vector(self, desc_bits: np.ndarray):
+        """(n, 256) bits -> (words, dense vector)."""
+        n = len(desc_bits)
+        words, v = BOW.transform(
+            self.voc, jnp.asarray(desc_bits), jnp.ones(n, dtype=bool)
+        )
+        return np.asarray(words), np.asarray(v)
+
+    def add(self, kf: int):
+        n = int(self.map.kf_n_feat[kf])
+        bits = np.unpackbits(
+            self.map.kf_feat_desc[kf, :n], axis=1, bitorder="little"
+        ).astype(np.int8)
+        words, v = self.compute_frame_vector(bits)
+        self.vectors[kf] = v
+        self.words[kf] = words
+        self.present[kf] = True
+
+    def remove(self, kf: int):
+        self.present[kf] = False
+        self.vectors[kf] = 0
+        self.words.pop(kf, None)
+
+    # ------------------------------------------------------------------
+
+    def query(self, v: np.ndarray, exclude: set[int] | None = None,
+              min_score: float = 0.0, top_n: int = 5):
+        """Score v against all stored keyframes; returns (kf_ids, scores)
+        sorted descending, excluding `exclude` and sub-min_score entries."""
+        active = self.present & self.map.kf_valid[: len(self.present)]
+        if exclude:
+            active = active.copy()
+            active[list(exclude)] = False
+        ids = np.nonzero(active)[0]
+        if len(ids) == 0:
+            return np.array([], dtype=int), np.array([])
+        scores = np.asarray(BOW.score_l1(
+            jnp.asarray(v), jnp.asarray(self.vectors[ids])
+        ))
+        keep = scores >= min_score
+        ids, scores = ids[keep], scores[keep]
+        order = np.argsort(-scores)[:top_n]
+        return ids[order], scores[order]
+
+    def detect_loop_candidates(self, kf: int, min_score: float,
+                               top_n: int = 5):
+        """Loop candidates: exclude the covisible neighborhood
+        (KeyframeDatabase.cpp:58-170)."""
+        cov, _ = self.map.covisible_keyframes(kf, min_weight=1)
+        exclude = set(int(c) for c in cov) | {kf}
+        return self.query(self.vectors[kf], exclude=exclude,
+                          min_score=min_score, top_n=top_n)
+
+    def detect_relocalization_candidates(self, frame_desc_bits: np.ndarray,
+                                         top_n: int = 5):
+        _, v = self.compute_frame_vector(frame_desc_bits)
+        return self.query(v, exclude=None, min_score=0.0, top_n=top_n)

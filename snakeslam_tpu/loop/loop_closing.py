@@ -1,0 +1,288 @@
+"""Loop closing: detection, Sim3 verification, and global correction.
+
+Host orchestration mirroring the reference's LoopClosing + LoopDetector +
+LoopClosingPGO (reference: Snake/LoopClosing/LoopClosing.cpp:29-59 process
+loop + cool-down, LoopDetector.cpp:45-145 candidate gating + temporal
+consistency, :148-375 Sim3 geometric verification, LoopClosing.cpp:184-447
+CorrectLoop, LoopClosingPGO.cpp:16-263 essential-graph optimization).
+
+The compute-heavy pieces are the jitted kernels: BoW scoring (ops/bow),
+descriptor matching (ops/matching), Sim3 registration RANSAC
+(ops/sim3_solver), and the Sim3 pose-graph GN (ops/pgo).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snakeslam_tpu.core import lie
+from snakeslam_tpu.loop.keyframe_database import KeyframeDatabase
+from snakeslam_tpu.map.slam_map import SlamMap, transform_pose_cw
+from snakeslam_tpu.ops import bow as BOW
+from snakeslam_tpu.ops.descriptors import unpack_bits_np
+from snakeslam_tpu.ops.matching import knn2_ratio_match
+from snakeslam_tpu.ops.pgo import PoseGraph, solve_pgo
+from snakeslam_tpu.ops.sim3_solver import sim3_ransac
+from snakeslam_tpu.system.settings import InputType, Settings
+
+MIN_LOOP_KF_GAP = 10        # candidate must be this many KFs older
+COOLDOWN_KFS = 4            # LoopClosing.cpp:29-59
+MIN_SIM3_INLIERS = 20
+
+
+class LoopClosing:
+    def __init__(self, settings: Settings, smap: SlamMap,
+                 database: KeyframeDatabase, gba=None, tracker=None):
+        self.s = settings
+        self.map = smap
+        self.db = database
+        self.gba = gba
+        self.tracker = tracker
+        self.use_scale = settings.input_type == InputType.Mono
+        self.last_loop_kf = -COOLDOWN_KFS
+        self.prev_candidates: set[int] = set()
+        self.consistency_count = 0
+        self.n_loops_closed = 0
+        self.key = jax.random.PRNGKey(settings.random_seed + 7)
+
+    # ------------------------------------------------------------------
+
+    def add(self, kf: int):
+        self.process(kf)
+
+    def process(self, kf: int):
+        """Detect + correct, then register the KF in the database."""
+        try:
+            if self.map.n_keyframes >= MIN_LOOP_KF_GAP:
+                hit = self._detect(kf)
+                if hit is not None:
+                    cand, s, R, t, pairs = hit
+                    self._correct_loop(kf, cand, s, R, t, pairs)
+                    self.n_loops_closed += 1
+                    self.last_loop_kf = kf
+        finally:
+            self.db.add(kf)
+
+    # ------------------------------------------------------------------
+
+    def _detect(self, kf: int):
+        smap = self.map
+        kf_seq = {int(k): i for i, k in enumerate(smap.valid_keyframes())}
+        if kf_seq.get(kf, 0) - kf_seq.get(self.last_loop_kf, -10**9) < COOLDOWN_KFS:
+            return None
+
+        # adaptive min score: min BoW similarity to the covisible group
+        # (LoopDetector.cpp:45-103)
+        cov, _ = smap.covisible_keyframes(kf, min_weight=15)
+        if len(cov) == 0:
+            return None
+        v_kf = self.db.vectors[kf] if self.db.present[kf] else None
+        if v_kf is None or not v_kf.any():
+            n = int(smap.kf_n_feat[kf])
+            bits = unpack_bits_np(smap.kf_feat_desc[kf, :n])
+            _, v_kf = self.db.compute_frame_vector(bits)
+        cov_present = [c for c in cov if self.db.present[c]]
+        if not cov_present:
+            return None
+        cov_scores = np.asarray(BOW.score_l1(
+            jnp.asarray(v_kf), jnp.asarray(self.db.vectors[cov_present])
+        ))
+        min_score = max(float(cov_scores.min()) * 0.8, 0.01)
+
+        cov_all, _ = smap.covisible_keyframes(kf, min_weight=1)
+        exclude = set(int(c) for c in cov_all) | {kf}
+        ids, scores = self.db.query(v_kf, exclude=exclude,
+                                    min_score=min_score, top_n=5)
+        # temporal gap gate
+        ids = [int(i) for i in ids
+               if kf_seq.get(kf, 0) - kf_seq.get(int(i), 0) >= MIN_LOOP_KF_GAP]
+        if not ids:
+            self.consistency_count = 0
+            self.prev_candidates = set()
+            return None
+
+        # temporal consistency >= 2 (LoopDetector.cpp:105-145): a candidate
+        # (or its covisible group) must reappear in consecutive detections
+        groups = set(ids)
+        for i in list(ids):
+            c, _ = smap.covisible_keyframes(i, min_weight=15)
+            groups |= set(int(x) for x in c)
+        consistent = bool(groups & self.prev_candidates)
+        self.prev_candidates = groups
+        if consistent:
+            self.consistency_count += 1
+        else:
+            self.consistency_count = 1
+        if self.consistency_count < 2:
+            return None
+
+        # geometric verification against the best candidates
+        for cand in ids[:3]:
+            hit = self._compute_sim3(kf, int(cand))
+            if hit is not None:
+                return (int(cand),) + hit
+        return None
+
+    def _compute_sim3(self, kf: int, cand: int):
+        """Match map points of the two KFs, register Sim3
+        (LoopDetector::ComputeSim3, :148-375)."""
+        smap = self.map
+        pairs = self._match_points(kf, cand)
+        if pairs is None or len(pairs[0]) < MIN_SIM3_INLIERS:
+            return None
+        pts_new, pts_old = pairs  # current-side / loop-side point ids
+        src = smap.pt_pos[pts_new]      # drifted current-side coordinates
+        dst = smap.pt_pos[pts_old]      # loop-side coordinates
+        self.key, sub = jax.random.split(self.key)
+        scene_scale = max(float(smap.kf_median_depth[kf]), 1.0)
+        s, R, t, inl, n = sim3_ransac(
+            jnp.asarray(src, dtype=jnp.float32),
+            jnp.asarray(dst, dtype=jnp.float32),
+            jnp.ones(len(src), dtype=bool), sub,
+            threshold=0.05 * scene_scale,
+            with_scale=self.use_scale,
+        )
+        if int(n) < MIN_SIM3_INLIERS:
+            return None
+        inl = np.asarray(inl)
+        return (float(s), np.asarray(R, dtype=np.float64),
+                np.asarray(t, dtype=np.float64),
+                (pts_new[inl], pts_old[inl]))
+
+    def _match_points(self, kf: int, cand: int):
+        """Descriptor matching between the two KFs' observed map points."""
+        smap = self.map
+
+        def kf_points(k):
+            n = int(smap.kf_n_feat[k])
+            feats = np.nonzero(smap.kf_obs[k, :n] >= 0)[0]
+            pts = smap.kf_obs[k, feats]
+            ok = smap.pt_valid[pts]
+            return pts[ok], smap.kf_feat_desc[k, feats[ok]]
+
+        pts_a, desc_a = kf_points(kf)
+        pts_b, desc_b = kf_points(cand)
+        if len(pts_a) < 20 or len(pts_b) < 20:
+            return None
+        idx, dist = knn2_ratio_match(
+            jnp.asarray(unpack_bits_np(desc_a)),
+            jnp.asarray(unpack_bits_np(desc_b)),
+            jnp.ones(len(pts_a), dtype=bool),
+            jnp.ones(len(pts_b), dtype=bool),
+            ratio=0.75, max_dist=50,
+        )
+        idx = np.asarray(idx)
+        sel = idx >= 0
+        return pts_a[sel], pts_b[idx[sel]]
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, kf: int, cand: int, s, R, t, pairs):
+        """CorrectLoop (LoopClosing.cpp:184-447): rigid+scale correction of
+        the current side, point fusion, essential-graph PGO, global BA."""
+        smap = self.map
+        state_before = smap.state
+
+        kfs = smap.valid_keyframes()
+        kfs = kfs[np.argsort(smap.kf_frame_id[kfs])]
+        kf_index = {int(k): i for i, k in enumerate(kfs)}
+        V = len(kfs)
+
+        # corrected pose of the current keyframe under the world similarity
+        # x_old = s R x_new + t applied to the current side
+        T_kf_corr = transform_pose_cw(smap.kf_pose[kf], s, R, t)
+
+        # ---- build the essential graph from PRE-correction poses ----
+        edges = []
+        for i, k in enumerate(kfs):
+            prev = smap.kf_prev[k]
+            if prev >= 0 and smap.kf_valid[prev]:
+                M = smap.kf_pose[k] @ np.linalg.inv(smap.kf_pose[prev])
+                edges.append((kf_index[int(prev)], i, M, 1.0))
+            cov, w = smap.covisible_keyframes(int(k), min_weight=20)
+            for c, wt in zip(cov[:10], w[:10]):
+                if int(c) < int(k):
+                    M = smap.kf_pose[k] @ np.linalg.inv(smap.kf_pose[c])
+                    edges.append((kf_index[int(c)], i, M, 0.5))
+        # the loop edge ties cand to the corrected current keyframe
+        M_loop = T_kf_corr @ np.linalg.inv(smap.kf_pose[cand])
+        edges.append((kf_index[cand], kf_index[kf], M_loop, 4.0))
+
+        E = len(edges)
+        use_sim3 = self.use_scale
+        poses = smap.kf_pose[kfs].copy()
+
+        # rigidly pre-correct the current covisible group by the measured
+        # similarity (LoopClosing.cpp:242-263), then hold both loop
+        # endpoints constant in the graph optimization
+        group, _ = smap.covisible_keyframes(kf, min_weight=15)
+        group = set(int(g) for g in group) | {kf}
+        for g in group:
+            poses[kf_index[g]] = transform_pose_cw(smap.kf_pose[g], s, R, t)
+        fixed = np.zeros(V, dtype=bool)
+        fixed[kf_index[cand]] = True
+        fixed[kf_index[kf]] = True
+
+        graph = PoseGraph(
+            poses=jnp.asarray(poses, dtype=jnp.float64),
+            fixed=jnp.asarray(fixed),
+            valid=jnp.ones(V, dtype=bool),
+            edge_i=jnp.asarray([e[0] for e in edges], dtype=jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in edges], dtype=jnp.int32),
+            edge_T=jnp.asarray(np.stack([e[2] for e in edges]),
+                               dtype=jnp.float64),
+            edge_weight=jnp.asarray([e[3] for e in edges],
+                                    dtype=jnp.float64),
+            edge_valid=jnp.ones(E, dtype=bool),
+        )
+        new_poses, cost = solve_pgo(graph, iterations=25, use_sim3=use_sim3)
+        new_poses = np.asarray(new_poses)
+
+        if smap.state != state_before:
+            return
+
+        # ---- write back: poses + points via their reference KF ----
+        # each point moves by its reference keyframe's before->after
+        # similarity (LoopClosingPGO.cpp:152-263)
+        old_poses = smap.kf_pose[kfs].copy()
+        scales = (np.asarray(lie.sim3_scale(jnp.asarray(new_poses)))
+                  if use_sim3 else np.ones(V))
+        for i, k in enumerate(kfs):
+            P = new_poses[i]
+            if use_sim3:
+                sR = P[:3, :3]
+                P = P.copy()
+                P[:3, :3] = sR / scales[i]
+                P[:3, 3] = P[:3, 3] / scales[i]
+            smap.kf_pose[k] = P
+        # transform points: x' = T_new^-1_se3 * (s_ref * (T_old * x))
+        pts = smap.valid_points()
+        ref = smap.pt_ref_kf[pts]
+        ref_ok = (ref >= 0) & smap.kf_valid[np.maximum(ref, 0)]
+        ref_rows = np.array([kf_index.get(int(r), -1) for r in ref])
+        usable = ref_ok & (ref_rows >= 0)
+        rows = ref_rows[usable]
+        p_sel = pts[usable]
+        To = old_poses[rows]
+        Tn = smap.kf_pose[np.asarray(ref[usable], dtype=int)]
+        x = smap.pt_pos[p_sel]
+        xc = np.einsum("nij,nj->ni", To[:, :3, :3], x) + To[:, :3, 3]
+        xc = xc / scales[rows][:, None]  # undo scale drift in camera space
+        Rn = Tn[:, :3, :3]
+        tn = Tn[:, :3, 3]
+        x_new = np.einsum("nji,nj->ni", Rn, xc - tn)
+        smap.pt_pos[p_sel] = x_new
+        smap.state += 1
+
+        # ---- fuse duplicate loop points ----
+        pts_new, pts_old = pairs
+        for a, b in zip(pts_new, pts_old):
+            if smap.pt_valid[a] and smap.pt_valid[b] and a != b:
+                smap.replace_point(int(a), int(b))
+
+        # ---- final polish: point-only BA + short full BA ----
+        if self.gba is not None:
+            self.gba.point_ba(iterations=3)
+            self.gba.full_ba(iterations=3)

@@ -1,0 +1,126 @@
+"""Neighbor fusion: merge duplicate map points across covisible keyframes.
+
+Replacement for the reference's MapSearcher/NeighbourSearch + the
+MappingORBMatcher Fuse overloads (reference: Snake/LocalMapping/
+NeighbourSearch.cpp:23-226, MappingORBMatcher.cpp:252-545): bidirectional
+projection of map points into covisible keyframes' feature sets; a hit on a
+feature that already has a point merges the two (keep the better-observed
+one), a hit on a free feature adds an observation.  The projection search is
+the jitted dense matcher (ops/matching.search_by_projection_fine); the
+commit pass is host-side map surgery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.core.pyramid import ScalePyramid
+from snakeslam_tpu.map.slam_map import SlamMap
+from snakeslam_tpu.ops import matching as M
+from snakeslam_tpu.ops.descriptors import unpack_bits_np
+from snakeslam_tpu.system.settings import Settings
+from snakeslam_tpu.tracking.staging import snapshot_points
+
+
+class MapSearcher:
+    def __init__(self, settings: Settings, smap: SlamMap):
+        self.s = settings
+        self.map = smap
+        self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
+                                  settings.cy)
+        self.bf = jnp.float32(settings.bf)
+        pyr = ScalePyramid.create(settings.fd_levels, settings.fd_scale_factor)
+        self.scales = jnp.asarray(pyr.scales)
+        self.log_sf = jnp.float32(pyr.log_scale_factor)
+        self.bounds = (0.0, 0.0, float(settings.width), float(settings.height))
+
+    # ------------------------------------------------------------------
+
+    def _kf_features(self, kf: int) -> M.FrameFeatures:
+        smap = self.map
+        N = self.s.feature_slots
+        n = int(smap.kf_n_feat[kf])
+        bits = np.zeros((N, 256), dtype=np.int8)
+        bits[:n] = unpack_bits_np(smap.kf_feat_desc[kf, :n])
+        return M.FrameFeatures(
+            uv=jnp.asarray(np.pad(
+                smap.kf_feat_uv[kf, :n], ((0, N - n), (0, 0))
+            ).astype(np.float32)),
+            right=jnp.asarray(np.pad(
+                smap.kf_feat_right[kf, :n], (0, N - n), constant_values=-1
+            ).astype(np.float32)),
+            octave=jnp.asarray(np.pad(
+                smap.kf_feat_octave[kf, :n].astype(np.int32), (0, N - n)
+            )),
+            angle=jnp.asarray(np.pad(
+                smap.kf_feat_angle[kf, :n], (0, N - n)
+            ).astype(np.float32)),
+            desc_bits=jnp.asarray(bits),
+            valid=jnp.asarray(np.arange(N) < n),
+        )
+
+    def _fuse_points_into_kf(self, point_ids: np.ndarray, kf: int) -> int:
+        """Project `point_ids` into keyframe `kf` and merge/link hits."""
+        smap = self.map
+        if len(point_ids) == 0:
+            return 0
+        lm, ids = snapshot_points(smap, point_ids, self.s.local_map_slots)
+        feats = self._kf_features(kf)
+        st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
+                           levels=int(self.scales.shape[0]))
+        out = M.search_by_projection_fine(
+            lm, feats, jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
+            self.cam, self.bf, self.bounds, st,
+            feat_free=feats.valid,  # fuse considers ALL features
+            th=1.0, ratio=0.9,
+        )
+        feat_point = np.asarray(out["feat_point"])
+        n = int(smap.kf_n_feat[kf])
+        fused = 0
+        for f in np.nonzero(feat_point[:n] >= 0)[0]:
+            p = int(ids[feat_point[f]])
+            if not smap.pt_valid[p]:
+                continue
+            existing = smap.kf_obs[kf, f]
+            if existing == p:
+                continue
+            if existing >= 0:
+                # duplicate: keep the better-observed point
+                # (MappingORBMatcher.cpp Fuse semantics)
+                if smap.pt_n_obs[existing] >= smap.pt_n_obs[p]:
+                    smap.replace_point(p, int(existing))
+                else:
+                    smap.replace_point(int(existing), p)
+                fused += 1
+            else:
+                if (smap.pt_obs_kf[p] == kf).any():
+                    continue  # already observed elsewhere in this KF
+                smap.add_observation(kf, int(f), p)
+                fused += 1
+        return fused
+
+    # ------------------------------------------------------------------
+
+    def process(self, kf: int, n_neighbors: int = 15) -> int:
+        """Bidirectional fuse of `kf` against its best covisible neighbors
+        (NeighbourSearch.cpp:23-53)."""
+        smap = self.map
+        ids, w = smap.covisible_keyframes(kf, min_weight=1)
+        neighbors = [int(k) for k in ids[:n_neighbors]]
+        if not neighbors:
+            return 0
+        fused = 0
+        kf_pts = smap.keyframe_points(kf)
+        # forward: this KF's points into the neighbors
+        for nb in neighbors:
+            fused += self._fuse_points_into_kf(kf_pts, nb)
+        # backward: all neighbor points into this KF
+        nb_pts = np.unique(np.concatenate(
+            [smap.keyframe_points(nb) for nb in neighbors]
+        ))
+        nb_pts = nb_pts[smap.pt_valid[nb_pts]]
+        fused += self._fuse_points_into_kf(nb_pts, kf)
+        smap.state += 1
+        return fused

@@ -33,6 +33,9 @@ class LocalMapper:
         self.lba = lba
         self.imu_solver = imu_solver
         self.backends = backends or []  # further queues (simplification, ...)
+        from snakeslam_tpu.mapping.fusion import MapSearcher
+
+        self.map_searcher = MapSearcher(settings, smap)
         self.recent_points: list[tuple[int, int]] = []  # (pt, created_at_kf)
         self.pyramid = ScalePyramid.create(settings.fd_levels,
                                            settings.fd_scale_factor)
@@ -78,6 +81,9 @@ class LocalMapper:
         self.map.compute_median_depth(kf)
         self._cull_recent_points(kf)
         self._triangulate_new_points(kf)
+        # bidirectional neighbor fusion (MapSearcher, LocalMapping.cpp:70-80)
+        if self.map_searcher is not None:
+            self.map_searcher.process(kf)
         for pt in self.map.keyframe_points(kf):
             self.map.update_point_descriptor_and_normal(int(pt))
         # IMU preintegration hook runs BEFORE LBA (LocalMapping.cpp:86-90)
@@ -186,7 +192,10 @@ class LocalMapper:
         )
         return fd
 
-    def _triangulate_new_points(self, kf: int, num_neighbors: int = 10):
+    def _triangulate_new_points(self, kf: int, num_neighbors: int = 10,
+                                feature_distance: int = 50,
+                                epipolar_distance: float = 4.0,
+                                error_mono: float = 2.1):
         """CreateNewMapPoints: triangulate vs top covisible KFs
         (LocalMapping.cpp:317-329, Triangulator.cpp:15-111)."""
         smap = self.map
@@ -213,6 +222,9 @@ class LocalMapper:
                 jnp.asarray(free_a), jnp.asarray(free_b),
                 T_a, jnp.asarray(smap.kf_pose[nb], dtype=jnp.float32),
                 self.cam, self.bf, self.scales, self.inv_sigma2,
+                feature_distance=feature_distance,
+                epipolar_distance=epipolar_distance,
+                error_mono=error_mono,
             )
             valid = np.asarray(out["valid"])
             match_b = np.asarray(out["match_b"])

@@ -36,7 +36,10 @@ def _normalized(cam: Pinhole, uv):
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(
+    jax.jit,
+    static_argnames=("feature_distance", "epipolar_distance", "error_mono"),
+)
 def triangulate_pair(
     feats_a: FrameFeatures,
     feats_b: FrameFeatures,
@@ -48,6 +51,9 @@ def triangulate_pair(
     bf: jax.Array,
     scales: jax.Array,          # (L,)
     inv_sigma2: jax.Array,      # (L,)
+    feature_distance: int = FEATURE_DISTANCE,
+    epipolar_distance: float = EPIPOLAR_DISTANCE,
+    error_mono: float = ERROR_MONO,
 ):
     """Match unmatched features across one KF pair and triangulate.
 
@@ -86,8 +92,8 @@ def triangulate_pair(
         feats_a.octave[:, None] - feats_b.octave[None, :]
     ) <= 1
     cand = (
-        (H <= FEATURE_DISTANCE)
-        & (epi_px2 <= EPIPOLAR_DISTANCE**2)
+        (H <= feature_distance)
+        & (epi_px2 <= epipolar_distance**2)
         & oct_ok
         & (free_a & feats_a.valid)[:, None]
         & (free_b & feats_b.valid)[None, :]
@@ -95,7 +101,7 @@ def triangulate_pair(
     Hm = jnp.where(cand, H, 256)
     best = jnp.min(Hm, axis=1)
     best_idx = jnp.argmin(Hm, axis=1).astype(jnp.int32)
-    matched = best <= FEATURE_DISTANCE
+    matched = best <= feature_distance
 
     # mutual best check (each b feature claimed once)
     rev_best = jnp.argmin(Hm, axis=0).astype(jnp.int32)
@@ -137,7 +143,7 @@ def triangulate_pair(
     eb2 = jnp.sum(
         (ub - feats_b.uv[best_idx]) ** 2, axis=1
     ) * inv_sigma2[Lb]
-    chi_ok = (ea2 <= ERROR_MONO**2) & (eb2 <= ERROR_MONO**2)
+    chi_ok = (ea2 <= error_mono**2) & (eb2 <= error_mono**2)
 
     # scale consistency: distance ratio must match octave scale ratio
     dist_a = jnp.linalg.norm(ra, axis=1)

@@ -72,6 +72,9 @@ class Settings:
     kfi_target_matches: int = 180
     th_map: int = 140
     initialization_quality: int = 1
+    # below this many keyframes a tracking loss clears the map instead of
+    # entering recovery/relocalization (Tracking.cpp:200-244)
+    reloc_min_keyframes: int = 20
 
     # ====== IMU (Settings.h:141-156) ======
     enable_imu: bool = True

@@ -36,11 +36,75 @@ class SlamSystem:
                 settings, self.map, gba=GlobalBA(settings, self.map)
             )
         self.lba = LocalBA(settings, self.map, imu_solver=self.imu_solver)
-        self.local_mapper = LocalMapper(settings, self.map, lba=self.lba,
-                                        imu_solver=self.imu_solver)
+
+        # BoW vocabulary + keyframe database + loop closing + relocalization
+        # (reference: System.cpp:44-46 vocabulary load; modules :49-107)
+        from pathlib import Path
+
+        from snakeslam_tpu.loop.keyframe_database import KeyframeDatabase
+        from snakeslam_tpu.loop.loop_closing import LoopClosing
+        from snakeslam_tpu.loop.relocalization import Relocalizer
+        from snakeslam_tpu.ops import bow as BOW
+        from snakeslam_tpu.optim.gba import GlobalBA
+
+        voc_path = Path(settings.voc_file)
+        if voc_path.exists() and voc_path.suffix == ".npz":
+            self.vocabulary = BOW.load_vocabulary(voc_path)
+        else:
+            import numpy as _np
+
+            rng = _np.random.default_rng(settings.random_seed + 1)
+            # vocabulary must be much larger than the per-frame feature count
+            # or BoW histograms saturate (k=10, L=4 -> 10k words; the
+            # reference's ORBvoc uses k=10, L=6)
+            train = rng.integers(0, 2, size=(30000, 256)).astype(_np.int8)
+            self.vocabulary = BOW.train_vocabulary(train, k=10, levels=4,
+                                                   seed=settings.random_seed)
+        self.database = KeyframeDatabase(self.vocabulary, self.map)
+        self.loop_closing = LoopClosing(
+            settings, self.map, self.database,
+            gba=GlobalBA(settings, self.map),
+        )
+        self.relocalizer = Relocalizer(settings, self.map, self.database)
+
+        # simplification + deferred mapping behind delayed queues
+        # (reference delays: simplification 8, deferred mapper 9 —
+        # Simplification.cpp:16-18, DeferredMapper.cpp:15-16)
+        from snakeslam_tpu.optim.deferred_mapper import DeferredMapper
+        from snakeslam_tpu.optim.simplification import Simplification
+        from snakeslam_tpu.system.queues import DelayedQueue
+
+        self.simplification = Simplification(settings, self.map,
+                                             imu_solver=self.imu_solver)
+        self.deferred_mapper = DeferredMapper(settings, self.map)
+        self._simp_queue = DelayedQueue(self.simplification.add, delay=8,
+                                        parallel=settings.async_mode,
+                                        name="simplification")
+        self._deferred_queue = DelayedQueue(self.deferred_mapper.add, delay=9,
+                                            parallel=settings.async_mode,
+                                            name="deferred")
+
+        class _QueueBackend:
+            def __init__(self, queue):
+                self.queue = queue
+
+            def add(self, kf):
+                self.queue.add(kf)
+                self.queue.update(kf)
+
+        self.local_mapper = LocalMapper(
+            settings, self.map, lba=self.lba,
+            imu_solver=self.imu_solver,
+            backends=[self.loop_closing,
+                      _QueueBackend(self._simp_queue),
+                      _QueueBackend(self._deferred_queue)],
+        )
+        self.deferred_mapper.map_searcher = self.local_mapper.map_searcher
+        self.deferred_mapper.local_mapper = self.local_mapper
         self.tracker = Tracker(settings, self.map,
                                local_mapper=self.local_mapper,
-                               imu_solver=self.imu_solver)
+                               imu_solver=self.imu_solver,
+                               relocalizer=self.relocalizer)
         self.stats = PerformanceStats()
         self.n_frames = 0
 
@@ -68,6 +132,10 @@ class SlamSystem:
         removal + another BA round."""
         from snakeslam_tpu.optim.gba import GlobalBA
 
+        # drain the delayed back-end queues (ForceCleanQueue analog,
+        # System.cpp:167-184)
+        self._simp_queue.force_clean()
+        self._deferred_queue.force_clean()
         if self.map.n_keyframes >= 2:
             gba = GlobalBA(self.s, self.map)
             gba.full_ba(iterations=gba_iterations)

@@ -43,11 +43,12 @@ class TrackStats:
 
 class Tracker:
     def __init__(self, settings: Settings, smap: SlamMap, local_mapper=None,
-                 imu_solver=None):
+                 imu_solver=None, relocalizer=None):
         self.s = settings
         self.map = smap
         self.local_mapper = local_mapper
         self.imu_solver = imu_solver
+        self.relocalizer = relocalizer
         self.state = TrackingState.NOT_INITIALIZED
         self.pyramid = ScalePyramid.create(settings.fd_levels,
                                            settings.fd_scale_factor)
@@ -124,6 +125,20 @@ class Tracker:
                 self.last_frame = None
                 self.last_tracked_frame = None
                 self.velocity = np.eye(4)
+        if self.state in (TrackingState.RECOVERING, TrackingState.LOST):
+            if (self.state == TrackingState.LOST
+                    and self.relocalizer is not None):
+                # BoW relocalization (TrackingCoarse.cpp:514-539)
+                if self.relocalizer.try_relocalize(frame):
+                    self.state = TrackingState.OK
+                    self.recover_frames = 0
+                    self.velocity = np.eye(4)
+                    self.last_kf = frame.ref_kf
+                    self.last_tracked_frame = frame
+                    self.last_frame = frame
+                    self.trajectory.append(frame)
+                    stats.state = self.state
+                    return stats
         if self.state == TrackingState.NOT_INITIALIZED:
             ok = self._initialize(frame)
             if ok:
@@ -167,6 +182,7 @@ class Tracker:
         ok = self._track(frame, T_pred, stats, prior_w_rot=prior_w_rot)
         if ok:
             self.state = TrackingState.OK
+            self.recover_frames = 0
             # update the motion model
             if (self.last_tracked_frame is not None
                     and self.last_tracked_frame.pose_cw is not None
@@ -372,11 +388,14 @@ class Tracker:
         frame.outlier = np.zeros(frame.n, dtype=bool)
         frame.ref_kf = self.last_kf
 
-        # found/visible statistics on the fine local map
+        # found/visible statistics: every final inlier match counts as found
+        # (coarse-stage matches included — the reference increases found for
+        # all points surviving pose optimization, TrackingFine.cpp:140-217)
         visible = np.asarray(fout["visible"])[: len(fine_ids)]
-        found = np.asarray(fout["found"])[: len(fine_ids)]
-        self.map.pt_visible[fine_ids[visible]] += 1
-        self.map.pt_found[fine_ids[found]] += 1
+        matched_ids = matches[matches >= 0]
+        visible_ids = np.union1d(fine_ids[visible], matched_ids)
+        self.map.pt_visible[visible_ids] += 1
+        self.map.pt_found[np.unique(matched_ids)] += 1
         return True
 
     # ------------------------------------------------------------------
@@ -454,7 +473,7 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _handle_loss(self, frame: FrameData):
-        if self.map.n_keyframes < 20:
+        if self.map.n_keyframes < self.s.reloc_min_keyframes:
             # early loss: clear the map and re-initialize
             self.map.clear()
             self.state = TrackingState.NOT_INITIALIZED
