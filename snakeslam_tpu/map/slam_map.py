@@ -265,6 +265,8 @@ class SlamMap:
         children = np.nonzero(self.kf_parent == kf)[0]
         self.kf_parent[children] = self.kf_parent[kf]
         self.kf_valid[kf] = False
+        if hasattr(self, "_kf_feat_cache"):
+            self._kf_feat_cache.pop(kf, None)
         self._free_kfs.append(kf)
         self.state += 1
 

@@ -21,7 +21,7 @@ from snakeslam_tpu.map.slam_map import SlamMap
 from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
 from snakeslam_tpu.system.settings import Settings
-from snakeslam_tpu.tracking.staging import snapshot_points
+from snakeslam_tpu.tracking.staging import kf_features_cached, snapshot_points
 
 
 class MapSearcher:
@@ -38,36 +38,16 @@ class MapSearcher:
 
     # ------------------------------------------------------------------
 
-    def _kf_features(self, kf: int) -> M.FrameFeatures:
-        smap = self.map
-        N = self.s.feature_slots
-        n = int(smap.kf_n_feat[kf])
-        bits = np.zeros((N, 256), dtype=np.int8)
-        bits[:n] = unpack_bits_np(smap.kf_feat_desc[kf, :n])
-        return M.FrameFeatures(
-            uv=jnp.asarray(np.pad(
-                smap.kf_feat_uv[kf, :n], ((0, N - n), (0, 0))
-            ).astype(np.float32)),
-            right=jnp.asarray(np.pad(
-                smap.kf_feat_right[kf, :n], (0, N - n), constant_values=-1
-            ).astype(np.float32)),
-            octave=jnp.asarray(np.pad(
-                smap.kf_feat_octave[kf, :n].astype(np.int32), (0, N - n)
-            )),
-            angle=jnp.asarray(np.pad(
-                smap.kf_feat_angle[kf, :n], (0, N - n)
-            ).astype(np.float32)),
-            desc_bits=jnp.asarray(bits),
-            valid=jnp.asarray(np.arange(N) < n),
-        )
-
-    def _fuse_points_into_kf(self, point_ids: np.ndarray, kf: int) -> int:
+    def _fuse_points_into_kf(self, point_ids: np.ndarray, kf: int,
+                             staged=None) -> int:
         """Project `point_ids` into keyframe `kf` and merge/link hits."""
         smap = self.map
         if len(point_ids) == 0:
             return 0
-        lm, ids = snapshot_points(smap, point_ids, self.s.local_map_slots)
-        feats = self._kf_features(kf)
+        if staged is None:
+            staged = snapshot_points(smap, point_ids, self.s.local_map_slots)
+        lm, ids = staged
+        feats = kf_features_cached(smap, kf, self.s.feature_slots)
         st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
                            levels=int(self.scales.shape[0]))
         out = M.search_by_projection_fine(
@@ -113,9 +93,11 @@ class MapSearcher:
             return 0
         fused = 0
         kf_pts = smap.keyframe_points(kf)
-        # forward: this KF's points into the neighbors
+        # forward: this KF's points into the neighbors (staged once)
+        staged = (snapshot_points(smap, kf_pts, self.s.local_map_slots)
+                  if len(kf_pts) else None)
         for nb in neighbors:
-            fused += self._fuse_points_into_kf(kf_pts, nb)
+            fused += self._fuse_points_into_kf(kf_pts, nb, staged=staged)
         # backward: all neighbor points into this KF
         nb_pts = np.unique(np.concatenate(
             [smap.keyframe_points(nb) for nb in neighbors]

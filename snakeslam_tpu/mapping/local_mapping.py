@@ -22,7 +22,7 @@ from snakeslam_tpu.map.slam_map import FrameData, SlamMap
 from snakeslam_tpu.ops.descriptors import hamming_np, unpack_bits_np
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
-from snakeslam_tpu.tracking.staging import pad_frame_features
+from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
 
 
 class LocalMapper:
@@ -204,7 +204,7 @@ class LocalMapper:
         if len(neighbors) == 0:
             return 0
         n_slots = self.s.feature_slots
-        feats_a = pad_frame_features(self._kf_frame_features(kf), n_slots)
+        feats_a = kf_features_cached(smap, kf, n_slots)
         free_a = np.zeros(n_slots, dtype=bool)
         na = int(smap.kf_n_feat[kf])
         free_a[:na] = smap.kf_obs[kf, :na] < 0
@@ -213,7 +213,7 @@ class LocalMapper:
         created = 0
         for nb in neighbors:
             nb = int(nb)
-            feats_b = pad_frame_features(self._kf_frame_features(nb), n_slots)
+            feats_b = kf_features_cached(smap, nb, n_slots)
             free_b = np.zeros(n_slots, dtype=bool)
             nbn = int(smap.kf_n_feat[nb])
             free_b[:nbn] = smap.kf_obs[nb, :nbn] < 0

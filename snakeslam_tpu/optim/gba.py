@@ -123,6 +123,60 @@ class GlobalBA:
         smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
         smap.state += 1
 
+    def realign_intermediate_frames(self, frames):
+        """Pose-only refinement of all tracked (non-keyframe) frames against
+        the final map — RealignIntermiediateFrames parity
+        (GlobalBundleAdjustment.cpp:124-329).  Frames are batched and solved
+        with a vmapped robust pose GN in one device dispatch."""
+        import jax
+
+        from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
+
+        smap = self.map
+        N = self.s.feature_slots
+        batch_T, batch_obs, out_frames = [], [], []
+        for f in frames:
+            if f.pose_cw is None or f.matches is None or f.is_keyframe:
+                continue
+            m = (f.matches >= 0) & smap.pt_valid[np.maximum(f.matches, 0)]
+            if m.sum() < 10:
+                continue
+            n = min(f.n, N)
+            pts = np.zeros((N, 3), dtype=F32)
+            uv = np.zeros((N, 2), dtype=F32)
+            right = np.full(N, -1.0, dtype=F32)
+            w = np.ones(N, dtype=F32)
+            mask = np.zeros(N, dtype=bool)
+            sel = np.nonzero(m[:n])[0]
+            pts[sel] = smap.pt_pos[f.matches[sel]]
+            uv[:n] = f.uv[:n]
+            right[:n] = f.right[:n]
+            inv_scale = self.pyramid.inv_scales
+            w[:n] = inv_scale[np.clip(f.octave[:n], 0, len(inv_scale) - 1)]
+            mask[sel] = True
+            batch_T.append(f.pose_cw.astype(F32))
+            batch_obs.append((pts, uv, right, w, mask))
+            out_frames.append(f)
+        if not out_frames:
+            return 0
+        obs = PoseObs(
+            points=jnp.asarray(np.stack([o[0] for o in batch_obs])),
+            uv=jnp.asarray(np.stack([o[1] for o in batch_obs])),
+            right=jnp.asarray(np.stack([o[2] for o in batch_obs])),
+            weight=jnp.asarray(np.stack([o[3] for o in batch_obs])),
+            mask=jnp.asarray(np.stack([o[4] for o in batch_obs])),
+        )
+        Ts = jnp.asarray(np.stack(batch_T))
+        refined, inl, n_inl = jax.vmap(
+            lambda T, o: robust_pose_refine(T, o, self.cam, self.bf)
+        )(Ts, obs)
+        refined = np.asarray(refined, dtype=np.float64)
+        n_inl = np.asarray(n_inl)
+        for i, f in enumerate(out_frames):
+            if n_inl[i] >= 10:
+                f.pose_cw = refined[i]
+        return len(out_frames)
+
     def remove_outliers(self, factor: float = 0.75):
         """Erase observations with chi2 above factor * threshold^2
         (System.cpp:202-205 uses 0.75 * th^2 before the final BA)."""

@@ -141,6 +141,9 @@ class SlamSystem:
             gba.full_ba(iterations=gba_iterations)
             gba.remove_outliers()
             gba.full_ba(iterations=gba_iterations)
+            # pose-only realign of the non-keyframe frames against the final
+            # map (System.cpp:208-215 RealignIntermiediateFrames)
+            gba.realign_intermediate_frames(self.tracker.trajectory)
 
     # ------------------------------------------------------------------
     # trajectory export (TUM format, System.cpp:529-590)

@@ -41,6 +41,43 @@ def pad_frame_features(frame: FrameData, n_slots: int) -> FrameFeatures:
     )
 
 
+def kf_features_cached(smap: SlamMap, kf: int, n_slots: int):
+    """Device-side FrameFeatures view of a keyframe's stored features.
+
+    Keyframe features are immutable, so the staged arrays are cached on the
+    map (evicted when the keyframe is erased) — fusion, triangulation, and
+    loop verification all reuse the same device buffers.
+    """
+    cache = getattr(smap, "_kf_feat_cache", None)
+    if cache is None:
+        cache = smap._kf_feat_cache = {}
+    hit = cache.get(kf)
+    if hit is not None and hit[0] == n_slots:
+        return hit[1]
+    n = int(smap.kf_n_feat[kf])
+    n = min(n, n_slots)
+    bits = np.zeros((n_slots, 256), dtype=np.int8)
+    bits[:n] = unpack_bits_np(smap.kf_feat_desc[kf, :n])
+    ff = FrameFeatures(
+        uv=jnp.asarray(np.pad(
+            smap.kf_feat_uv[kf, :n], ((0, n_slots - n), (0, 0))
+        ).astype(F32)),
+        right=jnp.asarray(np.pad(
+            smap.kf_feat_right[kf, :n], (0, n_slots - n), constant_values=-1
+        ).astype(F32)),
+        octave=jnp.asarray(np.pad(
+            smap.kf_feat_octave[kf, :n].astype(np.int32), (0, n_slots - n)
+        )),
+        angle=jnp.asarray(np.pad(
+            smap.kf_feat_angle[kf, :n], (0, n_slots - n)
+        ).astype(F32)),
+        desc_bits=jnp.asarray(bits),
+        valid=jnp.asarray(np.arange(n_slots) < n),
+    )
+    cache[kf] = (n_slots, ff)
+    return ff
+
+
 def snapshot_points(
     smap: SlamMap,
     point_ids: np.ndarray,

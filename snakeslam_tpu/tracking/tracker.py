@@ -322,6 +322,69 @@ class Tracker:
         lm, used = snapshot_points(self.map, ids, self.s.local_map_slots)
         return lm, used
 
+    def _track_brute_force(self, frame: FrameData, min_inliers: int = 15):
+        """Descriptor knn vs the reference KF's points + PnP RANSAC
+        (TrackingCoarse::TrackBruteForce, :343-512).
+
+        Returns (T (4,4) jnp, matched_sel (n,) bool, matched_pts global ids)
+        or None."""
+        import jax
+
+        from snakeslam_tpu.ops.descriptors import unpack_bits_np
+        from snakeslam_tpu.ops.matching import knn2_ratio_match
+        from snakeslam_tpu.ops.pose_solver import (
+            PoseObs, pnp_ransac, robust_pose_refine,
+        )
+
+        smap = self.map
+        kf = self.last_kf
+        if kf < 0 or not smap.kf_valid[kf]:
+            return None
+        pts = smap.keyframe_points(kf)
+        pts = pts[smap.pt_valid[pts]]
+        if len(pts) < min_inliers:
+            return None
+        idx, dist = knn2_ratio_match(
+            jnp.asarray(unpack_bits_np(frame.descriptors)),
+            jnp.asarray(smap.pt_bits[pts]),
+            jnp.ones(frame.n, dtype=bool),
+            jnp.ones(len(pts), dtype=bool),
+            ratio=0.8, max_dist=64,
+        )
+        idx = np.asarray(idx)
+        sel = idx >= 0
+        if sel.sum() < min_inliers:
+            return None
+        n_m = int(sel.sum())
+        obs_pts = smap.pt_pos[pts[idx[sel]]]
+        obs_uv = frame.uv[sel]
+        if not hasattr(self, "_bf_key"):
+            self._bf_key = jax.random.PRNGKey(self.s.random_seed + 29)
+        self._bf_key, sub = jax.random.split(self._bf_key)
+        T0, _, n0 = pnp_ransac(
+            jnp.asarray(obs_pts, dtype=jnp.float32),
+            jnp.asarray(obs_uv, dtype=jnp.float32),
+            jnp.ones(n_m, dtype=bool), self.cam, sub, n_hypotheses=256,
+        )
+        if int(n0) < min_inliers:
+            return None
+        obs = PoseObs(
+            points=jnp.asarray(obs_pts, dtype=jnp.float32),
+            uv=jnp.asarray(obs_uv, dtype=jnp.float32),
+            right=jnp.full(n_m, -1.0, dtype=jnp.float32),
+            weight=jnp.ones(n_m, dtype=jnp.float32),
+            mask=jnp.ones(n_m, dtype=bool),
+        )
+        T, inlier, n_inl = robust_pose_refine(T0, obs, self.cam, self.bf)
+        if int(n_inl) < min_inliers:
+            return None
+        inlier = np.asarray(inlier)
+        matched_sel = np.zeros(frame.n, dtype=bool)
+        sel_idx = np.nonzero(sel)[0]
+        matched_sel[sel_idx[inlier]] = True
+        matched_pts = pts[idx[sel]][inlier]
+        return T, matched_sel, matched_pts
+
     def _track(self, frame: FrameData, T_pred: np.ndarray,
                stats: TrackStats, prior_w_rot: float = 0.0) -> bool:
         lm_coarse, coarse_ids = self._coarse_local_map()
@@ -337,12 +400,20 @@ class Tracker:
         )
         stats.n_coarse_matches = int(out["n_matches"])
         stats.n_coarse_inliers = int(out["n_inliers"])
-        if not bool(out["ok"]):
-            return False
-        T_coarse = out["T"]
-        assign = np.asarray(out["assign"])[: frame.n]
-        matched_sel = assign >= 0
-        matched_pts = coarse_ids[assign[matched_sel]]
+        if bool(out["ok"]):
+            T_coarse = out["T"]
+            assign = np.asarray(out["assign"])[: frame.n]
+            matched_sel = assign >= 0
+            matched_pts = coarse_ids[assign[matched_sel]]
+        else:
+            # brute-force fallback vs the reference keyframe
+            # (TrackBruteForce: knn matching -> PnP RANSAC -> refine,
+            # TrackingCoarse.cpp:343-512)
+            bf_out = self._track_brute_force(frame)
+            if bf_out is None:
+                return False
+            T_coarse, matched_sel, matched_pts = bf_out
+            stats.n_coarse_inliers = int(matched_sel.sum())
 
         # ---- fine stage ----
         # the snapshot is immutable between map mutations; reuse it until the
@@ -380,8 +451,10 @@ class Tracker:
         fine_assign = np.asarray(fout["fine_assign"])[: frame.n]
         matches = np.full(frame.n, -1, dtype=np.int64)
         # coarse matches that survived as inliers
+        coarse_global = np.full(frame.n, -1, dtype=np.int64)
+        coarse_global[matched_sel] = matched_pts
         keep_coarse = matched_sel & inlier
-        matches[keep_coarse] = coarse_ids[assign[keep_coarse]]
+        matches[keep_coarse] = coarse_global[keep_coarse]
         keep_fine = (fine_assign >= 0) & inlier & ~keep_coarse
         matches[keep_fine] = fine_ids[fine_assign[keep_fine]]
         frame.matches = matches
