@@ -1,0 +1,97 @@
+"""Device-resident mirror of the map's point table.
+
+The host map (SlamMap) is authoritative; this mirror keeps the per-point
+payload (position, normal, descriptor bit planes, scale-region data) in
+device memory so per-frame local-map snapshots become a device-side gather
+of an id array (a few KB H2D) instead of re-uploading hundreds of KB of
+point payload every frame.  The mirror refreshes lazily whenever the map's
+generation counter moves — at keyframe rate, not frame rate.
+
+This is the TPU-native expression of the reference's LocalMap snapshot
+cache (reference: Snake/Map/LocalMap.h:83-186 — per-point epoch array for
+O(1) dedup; here the dedup/gather runs on device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snakeslam_tpu.map.slam_map import SlamMap
+from snakeslam_tpu.ops.matching import LocalMapPoints
+
+
+def _bucket(n: int, minimum: int = 4096) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_points(pos, normal, bits, ref_depth, ref_level, ids, valid,
+                   angle, octave_override, use_override):
+    idx = jnp.clip(ids, 0, pos.shape[0] - 1)
+    lvl = jnp.where(use_override, octave_override,
+                    ref_level[idx].astype(jnp.int32))
+    return LocalMapPoints(
+        position=pos[idx],
+        normal=normal[idx],
+        desc_bits=bits[idx],
+        ref_depth=ref_depth[idx],
+        ref_level=lvl,
+        angle=angle,
+        valid=valid,
+    )
+
+
+class DeviceMapMirror:
+    def __init__(self, smap: SlamMap):
+        self.map = smap
+        self.synced_state = -1
+        self.capacity = 0
+        self._arrays = None
+
+    def sync(self):
+        """Refresh the device copy if the map mutated since last sync."""
+        smap = self.map
+        if smap.state == self.synced_state and self._arrays is not None:
+            return
+        n = max(smap._next_pt, 1)
+        cap = _bucket(n)
+        self._arrays = (
+            jnp.asarray(smap.pt_pos[:cap], dtype=jnp.float32),
+            jnp.asarray(smap.pt_normal[:cap]),
+            jnp.asarray(smap.pt_bits[:cap]),
+            jnp.asarray(smap.pt_ref_depth[:cap]),
+            jnp.asarray(smap.pt_ref_level[:cap].astype(np.int32)),
+        )
+        self.capacity = cap
+        self.synced_state = smap.state
+
+    def gather(self, point_ids: np.ndarray, n_slots: int,
+               angles: np.ndarray | None = None,
+               octaves: np.ndarray | None = None):
+        """Build a LocalMapPoints snapshot on device from host point ids."""
+        self.sync()
+        ids = np.asarray(point_ids[:n_slots], dtype=np.int32)
+        n = len(ids)
+        ids_pad = np.zeros(n_slots, dtype=np.int32)
+        ids_pad[:n] = ids
+        valid = np.arange(n_slots) < n
+        ang = np.zeros(n_slots, dtype=np.float32)
+        if angles is not None:
+            ang[:n] = angles[:n]
+        octv = np.zeros(n_slots, dtype=np.int32)
+        use_override = octaves is not None
+        if use_override:
+            octv[:n] = octaves[:n]
+        lm = _gather_points(
+            *self._arrays,
+            jnp.asarray(ids_pad), jnp.asarray(valid), jnp.asarray(ang),
+            jnp.asarray(octv), jnp.asarray(bool(use_override)),
+        )
+        return lm, ids.astype(np.int64)

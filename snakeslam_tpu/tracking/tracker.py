@@ -82,6 +82,10 @@ class Tracker:
         # fine-local-map cache, invalidated on map mutation (map.state)
         self._fine_cache_state = -1
         self._fine_cache = (None, None)
+        # device-resident point table: per-frame snapshots are id gathers
+        from snakeslam_tpu.map.device_mirror import DeviceMapMirror
+
+        self.mirror = DeviceMapMirror(smap)
 
         if self.is_mono:
             from snakeslam_tpu.tracking.mono_init import MonoInitializer
@@ -285,9 +289,8 @@ class Tracker:
         ids, first = np.unique(ids, return_index=True)
         angles = angles[first]
         octaves = octaves[first]
-        lm, used = snapshot_points(
-            self.map, ids, self.s.feature_slots * 2,
-            angles=angles, octaves=octaves,
+        lm, used = self.mirror.gather(
+            ids, self.s.feature_slots * 2, angles=angles, octaves=octaves,
         )
         return lm, used
 
@@ -319,7 +322,7 @@ class Tracker:
         ids = ids[self.map.pt_valid[ids]]
         if len(ids) > self.s.local_map_slots:
             ids = ids[: self.s.local_map_slots]
-        lm, used = snapshot_points(self.map, ids, self.s.local_map_slots)
+        lm, used = self.mirror.gather(ids, self.s.local_map_slots)
         return lm, used
 
     def _track_brute_force(self, frame: FrameData, min_inliers: int = 15):
