@@ -153,32 +153,41 @@ class LocalBA:
     # ------------------------------------------------------------------
 
     def run(self, kf: int, iterations: int = 3):
+        """Snapshot -> solve -> guarded commit (the reference's async-safe
+        protocol: pack under the lock, solve lock-free, commit under the
+        lock with a mapState conflict check — LocalBundleAdjustment.cpp:
+        75-500).  In deterministic mode the lock is uncontended."""
         smap = self.map
-        window, boundary, pts = self.select_window(kf)
-        if len(window) < 2 or len(pts) < 20:
-            return
-        state_before = smap.state
-        problem, aux = self.pack(window, boundary, pts)
+        with smap.lock:
+            if not smap.kf_valid[kf]:
+                return
+            window, boundary, pts = self.select_window(kf)
+            if len(window) < 2 or len(pts) < 20:
+                return
+            state_before = smap.state
+            problem, aux = self.pack(window, boundary, pts)
+
+        # device solve runs without the map lock
         cam_pose, points, cost = BA.solve_ba(
             problem, self.cam, self.bf, iterations=iterations
         )
         outliers = BA.classify_outliers(
             problem, self.cam, self.bf, cam_pose, points
         )
-        # ---- commit (UpdateLocalScene, :415-500) ----
-        # (deterministic mode: no concurrent mutation; the state check mirrors
-        # the reference's optimistic-concurrency drop)
-        if smap.state != state_before:
-            return
-        cam_pose = np.asarray(cam_pose, dtype=np.float64)
-        points = np.asarray(points, dtype=np.float64)
-        win = aux["cams"][: aux["n_window"]]
-        smap.kf_pose[win] = cam_pose[: len(win)]
-        smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
 
-        erase_outlier_observations(
-            smap, aux["pts"], np.asarray(outliers), aux["obs_kf_id"],
-            aux["obs_feat"], aux["obs_valid"],
-        )
-        smap.state += 1
-        self.n_runs += 1
+        with smap.lock:
+            # optimistic-concurrency drop on concurrent modification
+            if smap.state != state_before:
+                return
+            cam_pose = np.asarray(cam_pose, dtype=np.float64)
+            points = np.asarray(points, dtype=np.float64)
+            win = aux["cams"][: aux["n_window"]]
+            smap.kf_pose[win] = cam_pose[: len(win)]
+            smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
+
+            erase_outlier_observations(
+                smap, aux["pts"], np.asarray(outliers), aux["obs_kf_id"],
+                aux["obs_feat"], aux["obs_valid"],
+            )
+            smap.state += 1
+            self.n_runs += 1

@@ -92,8 +92,17 @@ class SlamSystem:
                 self.queue.add(kf)
                 self.queue.update(kf)
 
+        lba_backend = self.lba
+        if settings.async_lba:
+            from snakeslam_tpu.system.pipeline import AsyncLBA
+
+            self._async_lba = AsyncLBA(self.lba)
+            lba_backend = self._async_lba
+        else:
+            self._async_lba = None
+
         self.local_mapper = LocalMapper(
-            settings, self.map, lba=self.lba,
+            settings, self.map, lba=lba_backend,
             imu_solver=self.imu_solver,
             backends=[self.loop_closing,
                       _QueueBackend(self._simp_queue),
@@ -112,15 +121,25 @@ class SlamSystem:
 
     def process_frame(self, frame: FrameData):
         with self.stats.timer("Tracking"):
-            st = self.tracker.process_frame(frame)
+            with self.map.lock:
+                st = self.tracker.process_frame(frame)
         self.n_frames += 1
         return st
 
     def run(self, frames):
-        """Drive a frame iterable through the pipeline (dataset mode)."""
+        """Drive a frame iterable through the pipeline (dataset mode).
+        async_mode runs the front-end stages on a producer thread
+        (README.md:61-65 deployment semantics)."""
         t0 = time.perf_counter()
-        for frame in frames:
-            self.process_frame(frame)
+        if self.s.async_mode:
+            from snakeslam_tpu.system.pipeline import AsyncPipeline
+
+            AsyncPipeline(self, frames).run()
+        else:
+            for frame in frames:
+                self.process_frame(frame)
+        if self._async_lba is not None:
+            self._async_lba.join()
         wall = time.perf_counter() - t0
         self.finalize()
         return wall
