@@ -20,6 +20,7 @@ from snakeslam_tpu.map.slam_map import FrameData
 from snakeslam_tpu.ops.descriptors import pack_bits_np
 from snakeslam_tpu.ops.orb import extract_orb
 from snakeslam_tpu.system.settings import Settings
+from snakeslam_tpu.utils import native
 
 
 class FeatureDetector:
@@ -32,21 +33,22 @@ class FeatureDetector:
     def _cache_path(self, frame_id: int) -> Path | None:
         if self.cache_dir is None or not self.s.fd_buffer_to_file:
             return None
-        return self.cache_dir / f"{frame_id}.features.npz"
+        return self.cache_dir / f"{frame_id}.features"
 
     def detect(self, image: np.ndarray, frame_id: int,
                timestamp: float) -> FrameData:
         """Run ORB on a grayscale image (H, W) uint8/float."""
         path = self._cache_path(frame_id)
-        if path is not None and path.exists():
-            z = np.load(path)
-            return FrameData(
-                frame_id=frame_id, timestamp=timestamp,
-                uv=z["uv"], octave=z["octave"], angle=z["angle"],
-                descriptors=z["descriptors"],
-                right=np.full(len(z["uv"]), -1.0),
-                depth=np.full(len(z["uv"]), -1.0),
-            )
+        if path is not None:
+            z = native.read_features(path)
+            if z is not None:
+                return FrameData(
+                    frame_id=frame_id, timestamp=timestamp,
+                    uv=z["uv"], octave=z["octave"], angle=z["angle"],
+                    descriptors=z["descriptors"],
+                    right=np.full(len(z["uv"]), -1.0),
+                    depth=np.full(len(z["uv"]), -1.0),
+                )
         feats = extract_orb(
             jnp.asarray(np.asarray(image, dtype=np.float32)),
             n_features=self.s.fd_features,
@@ -60,9 +62,7 @@ class FeatureDetector:
         angle = np.asarray(feats.angle)[valid].astype(np.float32)
         desc = pack_bits_np(np.asarray(feats.desc_bits)[valid])
         if path is not None:
-            np.savez_compressed(
-                path, uv=uv, octave=octave, angle=angle, descriptors=desc
-            )
+            native.write_features(path, uv, octave, angle, desc)
         n = len(uv)
         return FrameData(
             frame_id=frame_id, timestamp=timestamp,

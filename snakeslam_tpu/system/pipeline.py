@@ -16,32 +16,34 @@ generation check (LocalBundleAdjustment.cpp:463-499).
 
 from __future__ import annotations
 
-import queue
 import threading
 
 from snakeslam_tpu.system.queues import DelayedQueue
+from snakeslam_tpu.utils.native import NativeChannel
 
-_SENTINEL = object()
+_SENTINEL = "__snakert_sentinel__"
 
 
 class AsyncPipeline:
-    """Producer thread (IO + features + preprocess) -> bounded queue ->
-    tracking on the calling thread."""
+    """Producer thread (IO + features + preprocess) -> bounded native SPSC
+    channel -> tracking on the calling thread.  The 2-deep hand-off mirrors
+    the reference's SynchronizedBuffer depth (Input.h:48)."""
 
     def __init__(self, system, frame_source, depth: int = 2):
         self.system = system
         self.source = frame_source
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.channel = NativeChannel(capacity=depth)
         self.error = None
 
     def _producer(self):
         try:
             for frame in self.source:
-                self.q.put(frame)
+                if not self.channel.push(frame, timeout_ms=600_000):
+                    return
         except Exception as e:  # surface producer failures to the consumer
             self.error = e
         finally:
-            self.q.put(_SENTINEL)
+            self.channel.push(_SENTINEL, timeout_ms=600_000)
 
     def run(self):
         t = threading.Thread(target=self._producer, name="input-pipeline",
@@ -49,8 +51,9 @@ class AsyncPipeline:
         t.start()
         n = 0
         while True:
-            frame = self.q.get()
-            if frame is _SENTINEL:
+            frame = self.channel.pop(timeout_ms=600_000)
+            if frame is None or (isinstance(frame, str)
+                                 and frame == _SENTINEL):
                 break
             self.system.process_frame(frame)
             n += 1
