@@ -53,9 +53,7 @@ def main(argv=None):
     print(f"keyframes: {system.map.n_keyframes}  "
           f"points: {system.map.n_points}")
     print(system.stats.table())
-    rmse, scale, n_gt = system.ate_against_gt()
-    if n_gt:
-        print(f"ATE RMSE (Sim3): {rmse:.4f} m  scale {scale:.4f}")
+    print(system.map_statistics())
     return 0
 
 

@@ -441,6 +441,48 @@ class SlamMap:
             return 0.0
         return float(np.sqrt(np.concatenate(errs).mean()))
 
+    def validate(self) -> list[str]:
+        """Full map consistency check (Map::valid analog, reference:
+        Snake/Map/Map.cpp:504+, behind CHECK_VALID_MAP).  Returns a list of
+        violation descriptions (empty = consistent)."""
+        errors = []
+        # forward/reverse observation tables must agree exactly
+        for kf in self.valid_keyframes():
+            n = self.kf_n_feat[kf]
+            for f in np.nonzero(self.kf_obs[kf, :n] >= 0)[0]:
+                pt = self.kf_obs[kf, f]
+                if not self.pt_valid[pt]:
+                    errors.append(f"kf {kf} feat {f} -> dead point {pt}")
+                    continue
+                sel = (self.pt_obs_kf[pt] == kf) & (self.pt_obs_feat[pt] == f)
+                if not sel.any():
+                    errors.append(
+                        f"kf {kf} feat {f} -> point {pt} missing reverse obs"
+                    )
+        for pt in self.valid_points():
+            kfs, feats = self.point_observations(int(pt))
+            if len(kfs) != self.pt_n_obs[pt]:
+                errors.append(f"point {pt} n_obs mismatch")
+            seen_kfs = set()
+            for k, f in zip(kfs, feats):
+                if not self.kf_valid[k]:
+                    errors.append(f"point {pt} observed by dead kf {k}")
+                    continue
+                if k in seen_kfs:
+                    errors.append(f"point {pt} observed twice in kf {k}")
+                seen_kfs.add(int(k))
+                if self.kf_obs[k, f] != pt:
+                    errors.append(
+                        f"point {pt} reverse obs (kf {k}, feat {f}) "
+                        f"disagrees with forward table"
+                    )
+        # temporal chain sanity
+        for kf in self.valid_keyframes():
+            nxt = self.kf_next[kf]
+            if nxt >= 0 and self.kf_valid[nxt] and self.kf_prev[nxt] != kf:
+                errors.append(f"chain broken at kf {kf} -> {nxt}")
+        return errors
+
     def clear(self):
         listeners = self.on_transform
         self.__init__(self.max_keyframes, self.max_points, self.max_features)

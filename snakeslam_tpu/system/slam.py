@@ -213,6 +213,32 @@ class SlamSystem:
         if len(ts):
             traj.write_tum(out_dir / f"{prefix}_keyframes_ba.tum", ts, pos, quat)
 
+    def map_statistics(self) -> str:
+        """End-of-run map statistics table (Module.cpp:14-77 parity):
+        ATE RMSE Sim3/SE3, scale error, reprojection RMSE, obs density."""
+        smap = self.map
+        lines = []
+        rmse_sim3, scale, n = self.ate_against_gt(with_scale=True)
+        rmse_se3, _, _ = self.ate_against_gt(with_scale=False)
+        n_obs = int(smap.pt_n_obs[smap.valid_points()].sum())
+        n_kf = max(smap.n_keyframes, 1)
+        n_pt = max(smap.n_points, 1)
+        reproj = smap.reprojection_stats(self.s.fx, self.s.fy,
+                                         self.s.cx, self.s.cy)
+        lines.append(f"{'Keyframes':<24}{smap.n_keyframes:>12}")
+        lines.append(f"{'Map points':<24}{smap.n_points:>12}")
+        lines.append(f"{'Observations':<24}{n_obs:>12}")
+        lines.append(f"{'Obs / keyframe':<24}{n_obs / n_kf:>12.1f}")
+        lines.append(f"{'Obs / point':<24}{n_obs / n_pt:>12.2f}")
+        lines.append(f"{'Reprojection RMSE (px)':<24}{reproj:>12.3f}")
+        if n:
+            lines.append(f"{'ATE RMSE Sim3 (m)':<24}{rmse_sim3:>12.4f}")
+            lines.append(f"{'ATE RMSE SE3 (m)':<24}{rmse_se3:>12.4f}")
+            lines.append(
+                f"{'Scale error (%)':<24}{abs(1 - scale) * 100:>12.2f}"
+            )
+        return "\n".join(lines)
+
     def ate_against_gt(self, with_scale: bool = True):
         """ATE vs the ground-truth poses carried by the frames (eval only)."""
         est, gt = [], []
