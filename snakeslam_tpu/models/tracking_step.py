@@ -95,6 +95,18 @@ def coarse_step(
     ok = (n_matches >= COARSE_MIN_INLIERS_LAST_FRAME) & (
         n_inl >= COARSE_MIN_INLIERS_LAST_FRAME
     )
+    # single flat output: one device->host transfer per frame matters when
+    # the host link is latency-bound (remote TPU tunnels)
+    N = frame.uv.shape[0]
+    packed = jnp.concatenate([
+        T.reshape(-1).astype(jnp.float32),                    # [0:16]
+        jnp.stack([
+            n_matches.astype(jnp.float32),
+            n_inl.astype(jnp.float32),
+            ok.astype(jnp.float32),
+        ]),                                                    # [16:19]
+        assign.astype(jnp.float32),                            # [19:19+N]
+    ])
     return {
         "T": T,
         "assign": assign,
@@ -102,6 +114,7 @@ def coarse_step(
         "n_matches": n_matches,
         "n_inliers": n_inl,
         "ok": ok,
+        "packed": packed,
     }
 
 
@@ -161,12 +174,24 @@ def fine_step(
     found = jnp.zeros((P,), dtype=bool).at[
         jnp.where(fine_matched & inlier, fine_assign, P)
     ].set(True, mode="drop")
+    fine_assign_out = jnp.where(inlier, fine_assign, -1)
+    N = frame.uv.shape[0]
+    P = lm.position.shape[0]
+    packed = jnp.concatenate([
+        T.reshape(-1).astype(jnp.float32),                    # [0:16]
+        n_inl.astype(jnp.float32)[None],                      # [16]
+        fine_assign_out.astype(jnp.float32),                  # [17:17+N]
+        inlier.astype(jnp.float32),                           # [+N]
+        visible.astype(jnp.float32),                          # [+P]
+        found.astype(jnp.float32),                            # [+P]
+    ])
     return {
         "T": T,
-        "fine_assign": jnp.where(inlier, fine_assign, -1),
+        "fine_assign": fine_assign_out,
         "inlier": inlier,
         "matched": matched,
         "n_inliers": n_inl,
         "visible": visible,
         "found": found,
+        "packed": packed,
     }

@@ -401,11 +401,16 @@ class Tracker:
             self.cam, self.bf, self.bounds, self.scales, self.log_sf,
             self.coarse_radius, w_rot, self.zero,
         )
-        stats.n_coarse_matches = int(out["n_matches"])
-        stats.n_coarse_inliers = int(out["n_inliers"])
-        if bool(out["ok"]):
-            T_coarse = out["T"]
-            assign = np.asarray(out["assign"])[: frame.n]
+        # one device->host transfer for the whole coarse result
+        Ns = self.s.feature_slots
+        packed = np.asarray(out["packed"])
+        T_coarse_np = packed[:16].reshape(4, 4).astype(np.float64)
+        stats.n_coarse_matches = int(packed[16])
+        stats.n_coarse_inliers = int(packed[17])
+        coarse_ok = packed[18] > 0.5
+        if coarse_ok:
+            T_coarse = out["T"]  # stays on device for the fine step
+            assign = packed[19:19 + Ns].astype(np.int64)[: frame.n]
             matched_sel = assign >= 0
             matched_pts = coarse_ids[assign[matched_sel]]
         else:
@@ -444,14 +449,23 @@ class Tracker:
             self.fine_th, jnp.asarray(T_pred, dtype=jnp.float32),
             w_rot, self.zero,
         )
-        n_inl = int(fout["n_inliers"])
+        # one device->host transfer for the whole fine result
+        P = self.s.local_map_slots
+        fpacked = np.asarray(fout["packed"])
+        n_inl = int(fpacked[16])
         stats.n_fine_inliers = n_inl
         if n_inl < 25:  # fine_min_pose_optimziation_inliers (Tracking.h:187)
             return False
 
-        frame.pose_cw = np.asarray(fout["T"], dtype=np.float64)
-        inlier = np.asarray(fout["inlier"])[: frame.n]
-        fine_assign = np.asarray(fout["fine_assign"])[: frame.n]
+        frame.pose_cw = fpacked[:16].reshape(4, 4).astype(np.float64)
+        off = 17
+        fine_assign = fpacked[off:off + Ns].astype(np.int64)[: frame.n]
+        off += Ns
+        inlier = fpacked[off:off + Ns][: frame.n] > 0.5
+        off += Ns
+        visible_full = fpacked[off:off + P] > 0.5
+        off += P
+        found_full = fpacked[off:off + P] > 0.5
         matches = np.full(frame.n, -1, dtype=np.int64)
         # coarse matches that survived as inliers
         coarse_global = np.full(frame.n, -1, dtype=np.int64)
@@ -467,7 +481,7 @@ class Tracker:
         # found/visible statistics: every final inlier match counts as found
         # (coarse-stage matches included — the reference increases found for
         # all points surviving pose optimization, TrackingFine.cpp:140-217)
-        visible = np.asarray(fout["visible"])[: len(fine_ids)]
+        visible = visible_full[: len(fine_ids)]
         matched_ids = matches[matches >= 0]
         visible_ids = np.union1d(fine_ids[visible], matched_ids)
         self.map.pt_visible[visible_ids] += 1
