@@ -12,7 +12,10 @@ commit pass is host-side map surgery.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.core.camera import Pinhole
@@ -22,6 +25,23 @@ from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
 from snakeslam_tpu.system.settings import Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, snapshot_points
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _fuse_search_batch(lm, feats_stack, poses, cam, bf, bounds, scales,
+                       log_sf, levels: int):
+    """vmapped projection search: one device call for all target keyframes."""
+    st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+
+    def one(feats, pose):
+        out = M.search_by_projection_fine(
+            lm, feats, pose, cam, bf,
+            (bounds[0], bounds[1], bounds[2], bounds[3]), st,
+            feat_free=feats.valid, th=1.0, ratio=0.9,
+        )
+        return out["feat_point"]
+
+    return jax.vmap(one)(feats_stack, poses)
 
 
 class MapSearcher:
@@ -56,7 +76,11 @@ class MapSearcher:
             feat_free=feats.valid,  # fuse considers ALL features
             th=1.0, ratio=0.9,
         )
-        feat_point = np.asarray(out["feat_point"])
+        return self._commit_fuse(np.asarray(out["feat_point"]), ids, kf)
+
+    def _commit_fuse(self, feat_point: np.ndarray, ids: np.ndarray,
+                     kf: int) -> int:
+        smap = self.map
         n = int(smap.kf_n_feat[kf])
         fused = 0
         for f in np.nonzero(feat_point[:n] >= 0)[0]:
@@ -93,11 +117,20 @@ class MapSearcher:
             return 0
         fused = 0
         kf_pts = smap.keyframe_points(kf)
-        # forward: this KF's points into the neighbors (staged once)
-        staged = (snapshot_points(smap, kf_pts, self.s.local_map_slots)
-                  if len(kf_pts) else None)
-        for nb in neighbors:
-            fused += self._fuse_points_into_kf(kf_pts, nb, staged=staged)
+        # forward: this KF's points into ALL neighbors in ONE vmapped call
+        if len(kf_pts):
+            lm, ids = snapshot_points(smap, kf_pts, self.s.local_map_slots)
+            feats = [kf_features_cached(smap, nb, self.s.feature_slots)
+                     for nb in neighbors]
+            feats_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+            poses = jnp.asarray(smap.kf_pose[neighbors], dtype=jnp.float32)
+            fp_all = np.asarray(_fuse_search_batch(
+                lm, feats_stack, poses, self.cam, self.bf,
+                jnp.asarray(self.bounds, dtype=jnp.float32),
+                self.scales, self.log_sf, int(self.scales.shape[0]),
+            ))
+            for bi, nb in enumerate(neighbors):
+                fused += self._commit_fuse(fp_all[bi], ids, nb)
         # backward: all neighbor points into this KF
         nb_pts = np.unique(np.concatenate(
             [smap.keyframe_points(nb) for nb in neighbors]

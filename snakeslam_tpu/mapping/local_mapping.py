@@ -20,6 +20,10 @@ from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.core.pyramid import ScalePyramid
 from snakeslam_tpu.map.slam_map import FrameData, SlamMap
 from snakeslam_tpu.ops.descriptors import hamming_np, unpack_bits_np
+import functools
+
+import jax
+
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
@@ -210,25 +214,38 @@ class LocalMapper:
         free_a[:na] = smap.kf_obs[kf, :na] < 0
         T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
 
-        created = 0
-        for nb in neighbors:
-            nb = int(nb)
-            feats_b = kf_features_cached(smap, nb, n_slots)
-            free_b = np.zeros(n_slots, dtype=bool)
+        # one vmapped device call over all neighbor pairs (the reference
+        # OMP-parallelizes per pair, Triangulator.cpp:42-47)
+        feats_b = [kf_features_cached(smap, int(nb), n_slots)
+                   for nb in neighbors]
+        feats_b = jax.tree.map(lambda *xs: jnp.stack(xs), *feats_b)
+        free_b = np.zeros((len(neighbors), n_slots), dtype=bool)
+        for i, nb in enumerate(neighbors):
             nbn = int(smap.kf_n_feat[nb])
-            free_b[:nbn] = smap.kf_obs[nb, :nbn] < 0
-            out = triangulate_pair(
-                feats_a, feats_b,
-                jnp.asarray(free_a), jnp.asarray(free_b),
-                T_a, jnp.asarray(smap.kf_pose[nb], dtype=jnp.float32),
-                self.cam, self.bf, self.scales, self.inv_sigma2,
-                feature_distance=feature_distance,
-                epipolar_distance=epipolar_distance,
-                error_mono=error_mono,
-            )
-            valid = np.asarray(out["valid"])
-            match_b = np.asarray(out["match_b"])
-            pts = np.asarray(out["point"], dtype=np.float64)
+            free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
+        T_b = jnp.asarray(smap.kf_pose[neighbors], dtype=jnp.float32)
+
+        fn = functools.partial(
+            triangulate_pair,
+            feature_distance=feature_distance,
+            epipolar_distance=epipolar_distance,
+            error_mono=error_mono,
+        )
+        out = jax.vmap(
+            fn, in_axes=(None, 0, None, 0, None, 0, None, None, None, None)
+        )(
+            feats_a, feats_b, jnp.asarray(free_a), jnp.asarray(free_b),
+            T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
+        )
+        valid_all = np.asarray(out["valid"])
+        match_all = np.asarray(out["match_b"])
+        pts_all = np.asarray(out["point"], dtype=np.float64)
+
+        created = 0
+        for bi, nb in enumerate(int(n) for n in neighbors):
+            valid = valid_all[bi]
+            match_b = match_all[bi]
+            pts = pts_all[bi]
             for i in np.nonzero(valid)[0]:
                 if not free_a[i]:
                     continue  # claimed by an earlier neighbor this round
