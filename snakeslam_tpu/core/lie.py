@@ -262,6 +262,17 @@ def se3_log(T: jax.Array) -> jax.Array:
     return jnp.concatenate([v, w], axis=-1)
 
 
+def orthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (quaternion roundtrip).
+
+    f32 pose compositions accumulate a non-orthonormal defect that GROWS
+    GEOMETRICALLY through se3_inverse (which assumes R^T == R^-1) — a few
+    chained predict/update/compose steps are enough to bias solvers by
+    millimeters.  Solvers call this after every pose update."""
+    R = quat_to_rotmat(rotmat_to_quat(T[..., :3, :3]))
+    return se3(R, T[..., :3, 3])
+
+
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (..., 4, 4) to points (..., N, 3) -> (..., N, 3)."""
     R = T[..., :3, :3]

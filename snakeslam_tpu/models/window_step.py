@@ -1,0 +1,254 @@
+"""Windowed tracking megastep: a device-side scan over a batch of frames.
+
+The deterministic-evaluation throughput path.  A remote TPU pays a fixed
+round-trip latency per host<->device interaction, so per-frame dispatch
+caps throughput regardless of kernel speed.  This step ingests W frames in
+ONE upload, tracks them sequentially in ONE compiled ``lax.scan`` (predict
+-> coarse match -> robust GN -> fine match -> robust GN -> keyframe
+decision), and returns ONE packed result.  The scan stops tracking (carries
+through unchanged state) at the first frame that needs a keyframe or fails,
+and the host resumes from there after running the mapping back-ends — so
+map mutation stays host-authoritative while steady-state tracking runs
+entirely on device.
+
+This corresponds to the reference's high-playback evaluation mode
+(README.md:53-60, playback_fps = 200): many frames tracked between keyframe
+insertions.  Both matching stages run against the same local-map snapshot
+(the per-frame path keeps the reference's separate last-frame coarse map).
+
+Frame payloads travel as ONE flat f32 buffer (descriptor bit planes are
+bitcast) — a single H2D transfer per window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snakeslam_tpu.core import lie
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.ops import matching as M
+from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
+
+# packed frame layout (per frame, all f32):
+#   uv (N,2) | right (N,) | octave (N,) | angle (N,) | bits (N,64 bitcast)
+#   | n_valid (1) | timestamp (1)
+FRAME_SCALARS = 2
+
+
+def frame_buffer_width(n_slots: int) -> int:
+    return n_slots * (2 + 1 + 1 + 1 + 64) + FRAME_SCALARS
+
+
+def pack_frames_np(frames, n_slots: int) -> np.ndarray:
+    """Host-side packing of FrameData list -> (W, K) f32 buffer."""
+    from snakeslam_tpu.ops.descriptors import unpack_bits_np
+
+    W = len(frames)
+    K = frame_buffer_width(n_slots)
+    out = np.zeros((W, K), dtype=np.float32)
+    for w, f in enumerate(frames):
+        n = min(f.n, n_slots)
+        o = 0
+        uv = np.zeros((n_slots, 2), dtype=np.float32)
+        uv[:n] = f.uv[:n]
+        out[w, o:o + n_slots * 2] = uv.ravel(); o += n_slots * 2
+        right = np.full(n_slots, -1.0, dtype=np.float32)
+        right[:n] = f.right[:n]
+        out[w, o:o + n_slots] = right; o += n_slots
+        octv = np.zeros(n_slots, dtype=np.float32)
+        octv[:n] = f.octave[:n]
+        out[w, o:o + n_slots] = octv; o += n_slots
+        ang = np.zeros(n_slots, dtype=np.float32)
+        ang[:n] = f.angle[:n]
+        out[w, o:o + n_slots] = ang; o += n_slots
+        bits = np.zeros((n_slots, 256), dtype=np.int8)
+        bits[:n] = unpack_bits_np(f.descriptors[:n])
+        out[w, o:o + n_slots * 64] = bits.view(np.float32).ravel()
+        o += n_slots * 64
+        out[w, o] = n
+        out[w, o + 1] = f.timestamp
+    return out
+
+
+def _unpack_frame(buf: jax.Array, n_slots: int) -> M.FrameFeatures:
+    o = 0
+    uv = buf[o:o + n_slots * 2].reshape(n_slots, 2); o += n_slots * 2
+    right = buf[o:o + n_slots]; o += n_slots
+    octave = buf[o:o + n_slots].astype(jnp.int32); o += n_slots
+    angle = buf[o:o + n_slots]; o += n_slots
+    bits = jax.lax.bitcast_convert_type(
+        buf[o:o + n_slots * 64].reshape(n_slots, 64), jnp.int8
+    ).reshape(n_slots, 256)
+    o += n_slots * 64
+    n_valid = buf[o].astype(jnp.int32)
+    ts = buf[o + 1]
+    valid = jnp.arange(n_slots) < n_valid
+    return M.FrameFeatures(uv=uv, right=right, octave=octave, angle=angle,
+                           desc_bits=bits, valid=valid), ts
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def window_track(
+    lm: M.LocalMapPoints,
+    frames_buf: jax.Array,        # (W, K) packed frames
+    T_last: jax.Array,            # (4, 4) pose of the previous frame
+    velocity: jax.Array,          # (4, 4) camera-space motion model
+    cam: Pinhole,
+    bf: jax.Array,
+    image_bounds: jax.Array,      # (4,)
+    scales: jax.Array,
+    log_scale_factor: jax.Array,
+    coarse_radius: jax.Array,
+    fine_th: jax.Array,
+    # keyframe-decision scalars (KeyframeDecision.cpp semantics)
+    kfi_target: jax.Array,        # () target matches
+    last_kf_matches: jax.Array,   # () reference KF match count (>= minObs)
+    last_kf_time: jax.Array,      # () timestamp of the last keyframe
+    last_kf_center: jax.Array,    # (3,) camera center of the last keyframe
+    last_kf_viewdir: jax.Array,   # (3,) optical axis of the last keyframe
+    median_depth: jax.Array,      # () last KF median depth
+    is_stereo: jax.Array,         # () bool
+    th_depth: jax.Array,          # () close-point threshold
+    n_slots: int = 1024,
+):
+    """Track up to W frames against one local-map snapshot.
+
+    Returns a packed (W, 20 + 2*N) f32 array per frame:
+      [0:16] pose, [16] n_inliers, [17] ok, [18] need_kf, [19] stopped,
+      [20:20+N] point assignment (local lm index, -1 none),
+      [20+N:20+2N] reserved;
+    plus visible/found accumulators (P,) summed over tracked frames.
+    """
+    st = M.ScaleTables(scales=scales, log_scale_factor=log_scale_factor,
+                       levels=scales.shape[0])
+    bounds = (image_bounds[0], image_bounds[1],
+              image_bounds[2], image_bounds[3])
+    P = lm.position.shape[0]
+    inv_scales = 1.0 / scales
+
+    def track_one(T_pred, frame):
+        # coarse: prediction-radius matching against the snapshot
+        outc = M.search_by_projection_coarse(
+            lm, frame, T_pred, cam, bf, bounds, st,
+            feat_free=frame.valid, th=coarse_radius, feature_error=75,
+            use_rotation_hist=False,
+        )
+        assign_c = outc["feat_point"]
+        matched_c = assign_c >= 0
+        pidx = jnp.clip(assign_c, 0, P - 1)
+        obs = PoseObs(
+            points=lm.position[pidx], uv=frame.uv, right=frame.right,
+            weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
+            mask=matched_c,
+        )
+        T1, _, n1 = robust_pose_refine(T_pred, obs, cam, bf,
+                                       outer_iters=2, inner_iters=3)
+        # fine: tighter radius from the refined pose
+        outf = M.search_by_projection_fine(
+            lm, frame, T1, cam, bf, bounds, st,
+            feat_free=frame.valid & (~matched_c), th=fine_th, ratio=0.8,
+        )
+        assign_f = outf["feat_point"]
+        matched = matched_c | (assign_f >= 0)
+        assign = jnp.where(matched_c, assign_c, assign_f)
+        pidx = jnp.clip(assign, 0, P - 1)
+        obs = PoseObs(
+            points=lm.position[pidx], uv=frame.uv, right=frame.right,
+            weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
+            mask=matched,
+        )
+        T2, inlier, n2 = robust_pose_refine(T1, obs, cam, bf,
+                                            outer_iters=2, inner_iters=3)
+        assign = jnp.where(inlier, assign, -1)
+        visible = outf["visible"]
+        found = jnp.zeros((P,), dtype=jnp.float32).at[
+            jnp.where(assign >= 0, assign, P)
+        ].add(1.0, mode="drop")[:P]
+        return T2, assign, n2, visible.astype(jnp.float32), found
+
+    def kf_decision(T, n_inl, ts, frame, assign):
+        """KeyframeDecision.cpp rules evaluated on device."""
+        current = n_inl
+        # stereo close-point rule
+        pidx = jnp.clip(assign, 0, P - 1)
+        close = (assign >= 0) & (frame.right > 0)
+        depth_est = jnp.where(frame.right > 0,
+                              bf / jnp.maximum(frame.uv[:, 0] - frame.right,
+                                               1e-3), 1e9)
+        close = close & (depth_est <= th_depth)
+        n_close = jnp.sum(close)
+        n_nonclose = jnp.sum((assign >= 0)) - n_close
+        need_stereo = is_stereo & (n_close < 90) & (n_nonclose > 60)
+        current = jnp.where(is_stereo, current - n_nonclose, current)
+
+        target_ratio = current.astype(jnp.float32) / kfi_target
+        kf_ratio = current.astype(jnp.float32) / jnp.maximum(
+            last_kf_matches.astype(jnp.float32), 1.0
+        )
+        time_rule = (ts - last_kf_time) >= 0.5
+
+        cam_center = -(T[:3, :3].T @ T[:3, 3])
+        baseline = jnp.linalg.norm(cam_center - last_kf_center)
+        trans_angle = jnp.degrees(jnp.arctan2(
+            baseline / 2.0, jnp.maximum(median_depth, 1e-6)
+        ))
+        viewdir = T[:3, :3].T @ jnp.asarray([0.0, 0.0, 1.0])
+        rot_angle = jnp.degrees(jnp.arccos(jnp.clip(
+            jnp.sum(viewdir * last_kf_viewdir), -1.0, 1.0
+        )))
+
+        super_bad = current < 50
+        bad = (current < 60) | (target_ratio < 0.5) | (kf_ratio < 0.6)
+        very_good = target_ratio >= 1.3
+        good = (target_ratio >= 0.8) | (kf_ratio > 2.0)
+        geometry = (trans_angle > 1.0) | (rot_angle > 15.0)
+        geometry_bad = bad & ((trans_angle > 1.0) | (rot_angle > 10.0))
+
+        need = time_rule | need_stereo
+        need = need | (~super_bad & ~very_good
+                       & (jnp.where(good, False, geometry) | geometry_bad))
+        return need
+
+    def scan_body(carry, frame_buf):
+        T_last_c, vel, stopped = carry
+        frame, ts = _unpack_frame(frame_buf, n_slots)
+        T_pred = vel @ T_last_c
+        T, assign, n_inl, visible, found = track_one(T_pred, frame)
+        ok = n_inl >= 25
+        need_kf = kf_decision(T, n_inl, ts, frame, assign)
+        active = (~stopped) & ok
+        # motion model update only while actively tracking; orthonormalized
+        # so f32 composition defects cannot compound across the window
+        new_vel = jnp.where(
+            active, lie.orthonormalize(T @ lie.se3_inverse(T_last_c)), vel
+        )
+        new_T = jnp.where(active, T, T_last_c)
+        stop_after = stopped | (~ok) | need_kf
+        out = jnp.concatenate([
+            T.reshape(-1),
+            jnp.stack([
+                n_inl.astype(jnp.float32),
+                ok.astype(jnp.float32),
+                need_kf.astype(jnp.float32),
+                stopped.astype(jnp.float32),
+            ]),
+            assign.astype(jnp.float32),
+        ])
+        vis = jnp.where(active, visible, 0.0)
+        fnd = jnp.where(active, found, 0.0)
+        return (new_T, new_vel, stop_after), (out, vis, fnd)
+
+    init = (T_last, velocity, jnp.zeros((), dtype=bool))
+    (T_out, vel_out, _), (outs, vis, fnd) = jax.lax.scan(
+        scan_body, init, frames_buf
+    )
+    packed = jnp.concatenate([
+        outs.reshape(-1),
+        jnp.sum(vis, axis=0),
+        jnp.sum(fnd, axis=0),
+    ])
+    return packed

@@ -311,7 +311,9 @@ def solve_ba(
             g_hat,
         ).reshape(C, 6)
         delta_c = delta_c * free[:, None]
-        new_cam = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, cam_pose)
+        new_cam = jax.vmap(
+            lambda d, T: lie.orthonormalize(lie.se3_exp(d) @ T)
+        )(delta_c, cam_pose)
         if optimize_points:
             # back-substitute: delta_p = -Hpp^-1 (g_p + sum_m Y^T delta_c)
             dc = delta_c[jnp.clip(cidx, 0, C - 1)]

@@ -120,6 +120,8 @@ def solve_pgo(graph: PoseGraph, iterations: int = 20,
         delta = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(V, D)
         delta = delta * free[:, None]
         new_poses = jax.vmap(lambda d, T: exp_fn(d) @ T)(delta, poses)
+        if not use_sim3:
+            new_poses = lie.orthonormalize(new_poses)
         r2, _ = residuals(new_poses)
         new_cost = jnp.sum(w * jnp.sum(r2 * r2, axis=-1))
         accept = new_cost < cost

@@ -153,7 +153,7 @@ def robust_pose_refine(
             b = b + w_p * r_p
         H = H + damping * jnp.eye(6, dtype=T.dtype)
         delta = jnp.linalg.solve(H, b)
-        return lie.se3_exp(-delta) @ T
+        return lie.orthonormalize(lie.se3_exp(-delta) @ T)
 
     def outer(i, carry):
         T, inlier = carry
@@ -165,7 +165,9 @@ def robust_pose_refine(
         return T, inlier
 
     inlier0 = obs.mask
-    T, inlier = jax.lax.fori_loop(0, outer_iters, outer, (T_init, inlier0))
+    T, inlier = jax.lax.fori_loop(
+        0, outer_iters, outer, (lie.orthonormalize(T_init), inlier0)
+    )
     return T, inlier, jnp.sum(inlier)
 
 

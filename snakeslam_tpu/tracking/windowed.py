@@ -1,0 +1,161 @@
+"""Windowed tracking driver: host loop around the window megastep.
+
+Runs steady-state tracking W frames per device round trip (see
+models/window_step.py); drops back to the per-frame Tracker path for
+initialization, keyframe insertion, failures, and recovery.  This is the
+high-throughput deterministic evaluation mode (the reference's
+playback_fps=200 setting, README.md:53-60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from snakeslam_tpu.map.slam_map import FrameData
+from snakeslam_tpu.models.window_step import pack_frames_np, window_track
+from snakeslam_tpu.system.settings import InputType
+from snakeslam_tpu.tracking.tracker import TrackingState
+
+
+class WindowedRunner:
+    def __init__(self, system, window: int = 16):
+        self.system = system
+        self.tracker = system.tracker
+        self.window = window
+        self.n_device_calls = 0
+
+    # ------------------------------------------------------------------
+
+    def _decision_scalars(self):
+        t = self.tracker
+        smap = t.map
+        kf = t.last_kf
+        kf_pts = smap.keyframe_points(kf)
+        min_obs = 2 if smap.n_keyframes <= 2 else 3
+        last_kf_matches = max(int((smap.pt_n_obs[kf_pts] >= min_obs).sum()), 1)
+        T = smap.kf_pose[kf]
+        center = -T[:3, :3].T @ T[:3, 3]
+        viewdir = T[:3, :3].T @ np.array([0.0, 0.0, 1.0])
+        med = smap.kf_median_depth[kf] or smap.compute_median_depth(kf)
+        return dict(
+            kfi_target=jnp.float32(t.s.kfi_target_matches),
+            last_kf_matches=jnp.float32(last_kf_matches),
+            last_kf_time=jnp.float32(smap.kf_timestamp[kf]),
+            last_kf_center=jnp.asarray(center, dtype=jnp.float32),
+            last_kf_viewdir=jnp.asarray(viewdir, dtype=jnp.float32),
+            median_depth=jnp.float32(max(med, 1e-3)),
+            is_stereo=jnp.asarray(
+                t.s.input_type == InputType.Stereo, dtype=bool
+            ),
+            th_depth=jnp.float32(t.s.th_depth),
+        )
+
+    def _local_map(self):
+        t = self.tracker
+        lf = t.last_frame
+        matched = (lf.matches[lf.matches >= 0]
+                   if lf is not None and lf.matches is not None
+                   else np.array([], dtype=np.int64))
+        if t.map.state == t._fine_cache_state and t._fine_cache[0] is not None:
+            return t._fine_cache
+        lm, ids = t._fine_local_map(np.unique(matched))
+        if lm is not None:
+            t._fine_cache = (lm, ids)
+            t._fine_cache_state = t.map.state
+        return lm, ids
+
+    # ------------------------------------------------------------------
+
+    def run(self, frames: list[FrameData]) -> int:
+        i = 0
+        n = len(frames)
+        W = self.window
+        t = self.tracker
+        s = self.system.s
+        Ns = s.feature_slots
+        while i < n:
+            if t.state != TrackingState.OK or t.last_frame is None \
+                    or t.last_frame.pose_cw is None:
+                self.system.process_frame(frames[i])
+                i += 1
+                continue
+            lm, lm_ids = self._local_map()
+            if lm is None:
+                self.system.process_frame(frames[i])
+                i += 1
+                continue
+
+            batch = frames[i:i + W]
+            actual = len(batch)
+            while len(batch) < W:  # pad to the compiled width
+                batch = batch + [batch[-1]]
+            buf = pack_frames_np(batch, Ns)
+
+            packed = np.asarray(window_track(
+                lm, jnp.asarray(buf),
+                jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
+                jnp.asarray(t.velocity, dtype=jnp.float32),
+                t.cam, t.bf, t.bounds, t.scales, t.log_sf,
+                t.coarse_radius, t.fine_th,
+                **self._decision_scalars(),
+                n_slots=Ns,
+            ))
+            self.n_device_calls += 1
+
+            stride = 20 + Ns
+            P = s.local_map_slots
+            outs = packed[: W * stride].reshape(W, stride)
+            vis_sum = packed[W * stride: W * stride + P]
+            fnd_sum = packed[W * stride + P: W * stride + 2 * P]
+
+            consumed = 0
+            for w in range(actual):
+                row = outs[w]
+                stopped_before = row[19] > 0.5
+                if stopped_before:
+                    break
+                ok = row[17] > 0.5
+                if not ok:
+                    break  # re-run this frame through the full tracker
+                frame = batch[w]
+                frame.pose_cw = row[:16].reshape(4, 4).astype(np.float64)
+                assign = row[20:20 + Ns].astype(np.int64)[: frame.n]
+                matches = np.full(frame.n, -1, dtype=np.int64)
+                sel = assign >= 0
+                matches[sel] = lm_ids[assign[sel]]
+                frame.matches = matches
+                frame.outlier = np.zeros(frame.n, dtype=bool)
+                frame.ref_kf = t.last_kf
+                # tracker bookkeeping
+                if (t.last_tracked_frame is not None
+                        and t.last_tracked_frame.pose_cw is not None):
+                    t.velocity = frame.pose_cw @ np.linalg.inv(
+                        t.last_tracked_frame.pose_cw
+                    )
+                t.last_tracked_frame = frame
+                t.last_frame = frame
+                t.trajectory.append(frame)
+                consumed += 1
+                need_kf = row[18] > 0.5
+                if need_kf:
+                    kf = t.local_mapper.insert_keyframe(frame, t.last_kf)
+                    if kf >= 0:
+                        t.last_kf = kf
+                    break
+
+            # found/visible statistics for the window
+            vis_ids = lm_ids[np.nonzero(vis_sum[: len(lm_ids)] > 0)[0]]
+            t.map.pt_visible[vis_ids] += 1
+            fnd_idx = np.nonzero(fnd_sum[: len(lm_ids)] > 0)[0]
+            t.map.pt_found[lm_ids[fnd_idx]] += 1
+
+            if consumed == 0:
+                # first frame of the window failed: full per-frame path
+                # (brute-force fallback / loss handling)
+                self.system.process_frame(frames[i])
+                i += 1
+            else:
+                self.system.n_frames += consumed
+                i += consumed
+        return n
