@@ -6,9 +6,16 @@ ATE within 10% of the reference.  Until real EuRoC data is mountable in this
 environment, the workload is the feature-level synthetic sequence (same
 feature count, image size, and camera as EuRoC cam0; the pipeline path
 exercised — coarse/fine matching, pose GN, keyframe insertion,
-triangulation, LBA — is identical to the dataset path, mirroring the
-reference's feature-cache replay mode, Snake/Preprocess/FeatureDetector.cpp:
-94-139).
+triangulation, fusion, LBA, loop/BoW back-ends — is identical to the dataset
+path, mirroring the reference's feature-cache replay mode,
+Snake/Preprocess/FeatureDetector.cpp:94-139).
+
+Uses the windowed tracking runner (models/window_step.py): steady-state
+tracking is a device-side scan over frame batches, so throughput is not
+bound by per-frame host round trips — the analog of the reference's
+playback_fps=200 evaluation mode.
+
+Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 16).
 """
 
 from __future__ import annotations
@@ -19,18 +26,28 @@ import time
 import numpy as np
 
 
-def run_bench(n_frames: int = 200, warmup_frames: int = 30):
+def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
+              window: int | None = None):
+    import os
+
     from snakeslam_tpu.frontend.synthetic_source import (
         apply_world_to_settings,
         synthetic_frames,
     )
     from snakeslam_tpu.system.settings import InputType, Settings
     from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.tracking.windowed import WindowedRunner
     from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
 
-    def build(seed):
+    if n_frames is None:
+        n_frames = int(os.environ.get("BENCH_FRAMES", 400))
+    if window is None:
+        window = int(os.environ.get("BENCH_WINDOW", 16))
+
+    def build(seed, count):
         settings = Settings()
         settings.input_type = InputType.Stereo
+        settings.enable_imu = False
         settings.feature_slots = 1024
         settings.local_map_slots = 4096
         settings.lba_cam_slots = 32
@@ -41,21 +58,21 @@ def run_bench(n_frames: int = 200, warmup_frames: int = 30):
         apply_world_to_settings(world, settings)
         system = SlamSystem(settings)
         frames = list(synthetic_frames(
-            world, orbit_trajectory(n_frames, radius=7.0, arc=1.2),
+            world, orbit_trajectory(count, radius=7.0,
+                                    arc=1.2 * count / 400.0, fps=200.0),
             settings, noise_px=0.3,
         ))
         return system, frames
 
     # warmup: trigger all jit compiles on a short run
-    system, frames = build(seed=123)
-    for f in frames[:warmup_frames]:
-        system.process_frame(f)
+    system, frames = build(123, warmup_frames)
+    WindowedRunner(system, window=window).run(frames)
 
     # timed run on a fresh system (same shapes -> compile cache hits)
-    system, frames = build(seed=7)
+    system, frames = build(7, n_frames)
+    runner = WindowedRunner(system, window=window)
     t0 = time.perf_counter()
-    for f in frames:
-        system.process_frame(f)
+    runner.run(frames)
     wall = time.perf_counter() - t0
 
     n_tracked = len(system.tracker.trajectory)
@@ -69,13 +86,14 @@ def run_bench(n_frames: int = 200, warmup_frames: int = 30):
         "ate_rmse": rmse,
         "n_keyframes": system.map.n_keyframes,
         "n_points": system.map.n_points,
+        "device_calls": runner.n_device_calls,
     }
 
 
 def main():
     res = run_bench()
     out = {
-        "metric": "synthetic EuRoC-like tracked FPS (1024 feat, stereo, LBA on)",
+        "metric": "synthetic EuRoC-like tracked FPS (windowed, 1024 feat, stereo, full back-ends)",
         "value": round(res["fps"], 2),
         "unit": "frames/s",
         "vs_baseline": round(res["fps"] / 500.0, 4),
