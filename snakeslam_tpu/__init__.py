@@ -34,3 +34,19 @@ import jax as _jax
 # explicitly (exact for 0/1 bit planes), so this costs nothing on the hot
 # matching path.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: the pipeline's jitted programs (tracking
+# megasteps, BA, matchers) compile once per shape and reload instantly in
+# later processes — TPU compiles are 20-40 s each
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SNAKESLAM_JIT_CACHE",
+    _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

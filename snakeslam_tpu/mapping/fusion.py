@@ -117,13 +117,15 @@ class MapSearcher:
             return 0
         fused = 0
         kf_pts = smap.keyframe_points(kf)
-        # forward: this KF's points into ALL neighbors in ONE vmapped call
+        # forward: this KF's points into ALL neighbors in ONE vmapped call,
+        # padded to the fixed n_neighbors so exactly one program compiles
         if len(kf_pts):
+            padded = neighbors + [neighbors[-1]] * (n_neighbors - len(neighbors))
             lm, ids = snapshot_points(smap, kf_pts, self.s.local_map_slots)
             feats = [kf_features_cached(smap, nb, self.s.feature_slots)
-                     for nb in neighbors]
+                     for nb in padded]
             feats_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
-            poses = jnp.asarray(smap.kf_pose[neighbors], dtype=jnp.float32)
+            poses = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
             fp_all = np.asarray(_fuse_search_batch(
                 lm, feats_stack, poses, self.cam, self.bf,
                 jnp.asarray(self.bounds, dtype=jnp.float32),

@@ -215,15 +215,19 @@ class LocalMapper:
         T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
 
         # one vmapped device call over all neighbor pairs (the reference
-        # OMP-parallelizes per pair, Triangulator.cpp:42-47)
+        # OMP-parallelizes per pair, Triangulator.cpp:42-47).  The batch is
+        # padded to the fixed num_neighbors so exactly one program compiles;
+        # pad rows get free_b = all-False (no candidates).
+        n_actual = len(neighbors)
+        padded = list(neighbors) + [neighbors[-1]] * (num_neighbors - n_actual)
         feats_b = [kf_features_cached(smap, int(nb), n_slots)
-                   for nb in neighbors]
+                   for nb in padded]
         feats_b = jax.tree.map(lambda *xs: jnp.stack(xs), *feats_b)
-        free_b = np.zeros((len(neighbors), n_slots), dtype=bool)
+        free_b = np.zeros((num_neighbors, n_slots), dtype=bool)
         for i, nb in enumerate(neighbors):
             nbn = int(smap.kf_n_feat[nb])
             free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
-        T_b = jnp.asarray(smap.kf_pose[neighbors], dtype=jnp.float32)
+        T_b = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
 
         fn = functools.partial(
             triangulate_pair,

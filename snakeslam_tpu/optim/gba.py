@@ -177,6 +177,79 @@ class GlobalBA:
                 f.pose_cw = refined[i]
         return len(out_frames)
 
+    def rematch_intermediate(self, frames, max_group: int = 32):
+        """Re-match non-keyframe frames against the final map before the
+        pose-only realign — RematchIntermiediate parity
+        (System.cpp:269-303).  Frames sharing a reference keyframe are
+        vmapped through the projection matcher in one device call."""
+        import jax
+
+        from snakeslam_tpu.map.slam_map import SlamMap  # noqa: F401
+        from snakeslam_tpu.ops import matching as M
+        from snakeslam_tpu.tracking.staging import (
+            pad_frame_features,
+            snapshot_points,
+        )
+
+        smap = self.map
+        N = self.s.feature_slots
+        P = self.s.local_map_slots
+        st = M.ScaleTables(
+            scales=jnp.asarray(self.pyramid.scales),
+            log_scale_factor=jnp.float32(self.pyramid.log_scale_factor),
+            levels=self.pyramid.levels,
+        )
+        bounds = (0.0, 0.0, float(self.s.width), float(self.s.height))
+
+        def search_batch(lm, feats_stack, poses):
+            def one(feats, pose):
+                out = M.search_by_projection_fine(
+                    lm, feats, pose, self.cam, self.bf, bounds, st,
+                    feat_free=feats.valid, th=2.0, ratio=0.9,
+                )
+                return out["feat_point"]
+
+            return jax.vmap(one)(feats_stack, poses)
+
+        # group by reference keyframe
+        groups: dict[int, list] = {}
+        for f in frames:
+            if (f.is_keyframe or f.pose_cw is None or f.ref_kf < 0
+                    or not smap.kf_valid[f.ref_kf]):
+                continue
+            groups.setdefault(int(f.ref_kf), []).append(f)
+
+        n_rematched = 0
+        for ref, fs in groups.items():
+            ids, _ = smap.covisible_keyframes(ref, min_weight=15)
+            kfs = [ref] + [int(k) for k in ids[:10]]
+            pts = np.unique(np.concatenate(
+                [smap.keyframe_points(k) for k in kfs]
+            ))
+            pts = pts[smap.pt_valid[pts]][:P]
+            if len(pts) < 20:
+                continue
+            lm, lm_ids = snapshot_points(smap, pts, P)
+            for chunk_start in range(0, len(fs), max_group):
+                chunk = fs[chunk_start:chunk_start + max_group]
+                feats = [pad_frame_features(f, N) for f in chunk]
+                feats_stack = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *feats
+                )
+                poses = jnp.asarray(
+                    np.stack([f.pose_cw for f in chunk]), dtype=jnp.float32
+                )
+                fp = np.asarray(search_batch(lm, feats_stack, poses))
+                for i, f in enumerate(chunk):
+                    assign = fp[i][: f.n].astype(np.int64)
+                    matches = np.full(f.n, -1, dtype=np.int64)
+                    sel = assign >= 0
+                    matches[sel] = lm_ids[assign[sel]]
+                    if sel.sum() >= 10:
+                        f.matches = matches
+                        n_rematched += 1
+        return n_rematched
+
     def remove_outliers(self, factor: float = 0.75):
         """Erase observations with chi2 above factor * threshold^2
         (System.cpp:202-205 uses 0.75 * th^2 before the final BA)."""

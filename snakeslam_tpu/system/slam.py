@@ -160,8 +160,11 @@ class SlamSystem:
             gba.full_ba(iterations=gba_iterations)
             gba.remove_outliers()
             gba.full_ba(iterations=gba_iterations)
-            # pose-only realign of the non-keyframe frames against the final
-            # map (System.cpp:208-215 RealignIntermiediateFrames)
+            # rematch + pose-only realign of the non-keyframe frames against
+            # the final map (System.cpp:208-215: RealignIntermiediateFrames
+            # x2 interleaved with RematchIntermiediate)
+            gba.realign_intermediate_frames(self.tracker.trajectory)
+            gba.rematch_intermediate(self.tracker.trajectory)
             gba.realign_intermediate_frames(self.tracker.trajectory)
 
     # ------------------------------------------------------------------
