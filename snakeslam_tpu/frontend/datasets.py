@@ -289,6 +289,61 @@ class KittiDataset:
             yield frame
 
 
+class ScannetDataset:
+    """<root>/color/%d.jpg + depth/%d.png (millimeters) +
+    intrinsic/intrinsic_depth.txt (ScanNet export layout)."""
+
+    DEPTH_SCALE = 1.0 / 1000.0
+
+    def __init__(self, root: str | Path, fps: float = 30.0, start: int = 0,
+                 max_frames: int = -1):
+        self.root = Path(root)
+        color = self.root / "color"
+        self.images = sorted(
+            color.glob("*.jpg"), key=lambda p: int(p.stem)
+        ) if color.exists() else []
+        self.fps = fps
+        self.start = start
+        self.max_frames = max_frames
+        self.calib = self._read_calib(
+            self.root / "intrinsic" / "intrinsic_depth.txt"
+        )
+
+    @staticmethod
+    def _read_calib(path: Path):
+        if not path.exists():
+            return None
+        K = np.loadtxt(path)
+        return dict(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2])
+
+    def __len__(self):
+        n = len(self.images) - self.start
+        return n if self.max_frames < 0 else min(n, self.max_frames)
+
+    def __iter__(self):
+        from PIL import Image
+
+        end = (len(self.images) if self.max_frames < 0
+               else min(len(self.images), self.start + self.max_frames))
+        for i in range(self.start, end):
+            p = self.images[i]
+            frame = RawFrame(
+                frame_id=i - self.start,
+                timestamp=int(p.stem) / self.fps,
+                gray=_load_gray(p),
+            )
+            dp = self.root / "depth" / f"{p.stem}.png"
+            if dp.exists():
+                frame.depth = (np.asarray(Image.open(dp)).astype(np.float64)
+                               * self.DEPTH_SCALE)
+            yield frame
+
+
+class ZjuDataset(EurocDataset):
+    """ZJU-SenseTime VISLAM sequences ship in the EuRoC/ASL layout
+    (mav0/camera + imu csv); the EuRoC loader covers them."""
+
+
 def create_dataset(settings, root: str | Path):
     """SensorType -> loader factory (Input::CreateCamera analog,
     Input.cpp:100-234)."""
@@ -311,5 +366,22 @@ def create_dataset(settings, root: str | Path):
             root, stereo=settings.input_type == InputType.Stereo,
             start=settings.dataset.start_frame,
             max_frames=settings.dataset.max_frames,
+        )
+    if st == SensorType.SCANNET:
+        return ScannetDataset(
+            root, start=settings.dataset.start_frame,
+            max_frames=settings.dataset.max_frames,
+        )
+    if st == SensorType.ZJU:
+        return ZjuDataset(
+            root, start=settings.dataset.start_frame,
+            max_frames=settings.dataset.max_frames,
+        )
+    if st in (SensorType.PRIMESENSE, SensorType.KINECT_AZURE,
+              SensorType.SAIGA_RAW):
+        raise NotImplementedError(
+            f"{st.name} is a live-camera input; this environment has no "
+            "camera hardware. Use a recorded dataset (EUROC/TUM_RGBD/"
+            "KITTI/SCANNET/ZJU) or the synthetic source."
         )
     raise ValueError(f"unsupported sensor type {st}")
