@@ -64,8 +64,13 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
         ))
         return system, frames
 
-    # warmup: trigger all jit compiles on a short run
-    system, frames = build(123, warmup_frames)
+    # warmup: trigger all jit compiles, INCLUDING the keyframe-insertion
+    # back-end paths (triangulation/fusion/LBA) — run at low fps so the
+    # 0.5 s keyframe time rule fires several times within the warmup
+    settings_fps = 200.0
+    system, frames = build(123, max(warmup_frames, 48))
+    for f in frames:
+        f.timestamp = f.frame_id / 10.0  # dense keyframes during warmup
     WindowedRunner(system, window=window).run(frames)
 
     # timed run on a fresh system (same shapes -> compile cache hits)

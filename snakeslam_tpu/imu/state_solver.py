@@ -14,6 +14,12 @@ Host orchestration mirroring the reference's ImuStateSolver state machine
 Raw IMU sample windows are kept per keyframe edge so preintegration can be
 redone whenever the bias estimate changes (RecomputeWeights, :149-166);
 preintegration itself is the jitted scan in ops/imu.py.
+
+Camera<-body extrinsics (Settings.T_cam_body) are applied to the rotation
+chain; the position lever arm (t_cb) is currently neglected in the linear
+scale/gravity solve — identity-extrinsic rigs (and the synthetic tests) are
+exact, small-lever rigs like EuRoC incur a cm-scale approximation to be
+removed in a later round.
 """
 
 from __future__ import annotations
@@ -77,6 +83,10 @@ class ImuStateSolver:
         self.current_gyro_weight = 0.0
         self.current_acc_weight = 0.0
         self.map_reset_requested = False
+        # camera<-body extrinsics
+        self.T_cb = np.asarray(settings.T_cam_body, dtype=np.float64
+                               ).reshape(4, 4)
+        self.R_cb = self.T_cb[:3, :3]
 
     # ------------------------------------------------------------------
 
@@ -153,11 +163,14 @@ class ImuStateSolver:
         out.sort(key=lambda e: self.map.kf_frame_id[e[1]])
         return out
 
+    def _body_rotation(self, kf: int) -> np.ndarray:
+        """R_wb of a keyframe: T_bw = T_cb^-1 T_cw -> R_wb = (R_cb^T R_cw)^T."""
+        return (self.R_cb.T @ self.map.kf_pose[kf][:3, :3]).T
+
     def _body_rotations(self, chain):
-        """R_wb at edge endpoints (body == camera for now; T_cb extrinsics
-        hook reserved for real rigs)."""
-        R_i = np.stack([self.map.kf_pose[i][:3, :3].T for i, j, _ in chain])
-        R_j = np.stack([self.map.kf_pose[j][:3, :3].T for i, j, _ in chain])
+        """R_wb at edge endpoints (camera<-body extrinsics applied)."""
+        R_i = np.stack([self._body_rotation(i) for i, j, _ in chain])
+        R_j = np.stack([self._body_rotation(j) for i, j, _ in chain])
         return R_i, R_j
 
     # ------------------------------------------------------------------

@@ -34,19 +34,19 @@ from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
 
 # packed frame layout (per frame, all f32):
-#   uv (N,2) | right (N,) | octave (N,) | angle (N,) | bits (N,64 bitcast)
-#   | n_valid (1) | timestamp (1)
+#   uv (N,2) | right (N,) | octave (N,) | angle (N,) | packed desc (N,8
+#   f32-bitcast of 32 uint8) | n_valid (1) | timestamp (1)
+# Descriptors travel PACKED (32 B) and are unpacked to bit planes on device:
+# the H2D link is bandwidth-bound, so the window buffer is ~13 f32/feature.
 FRAME_SCALARS = 2
 
 
 def frame_buffer_width(n_slots: int) -> int:
-    return n_slots * (2 + 1 + 1 + 1 + 64) + FRAME_SCALARS
+    return n_slots * (2 + 1 + 1 + 1 + 8) + FRAME_SCALARS
 
 
 def pack_frames_np(frames, n_slots: int) -> np.ndarray:
     """Host-side packing of FrameData list -> (W, K) f32 buffer."""
-    from snakeslam_tpu.ops.descriptors import unpack_bits_np
-
     W = len(frames)
     K = frame_buffer_width(n_slots)
     out = np.zeros((W, K), dtype=np.float32)
@@ -65,10 +65,10 @@ def pack_frames_np(frames, n_slots: int) -> np.ndarray:
         ang = np.zeros(n_slots, dtype=np.float32)
         ang[:n] = f.angle[:n]
         out[w, o:o + n_slots] = ang; o += n_slots
-        bits = np.zeros((n_slots, 256), dtype=np.int8)
-        bits[:n] = unpack_bits_np(f.descriptors[:n])
-        out[w, o:o + n_slots * 64] = bits.view(np.float32).ravel()
-        o += n_slots * 64
+        desc = np.zeros((n_slots, 32), dtype=np.uint8)
+        desc[:n] = f.descriptors[:n]
+        out[w, o:o + n_slots * 8] = desc.view(np.float32).ravel()
+        o += n_slots * 8
         out[w, o] = n
         out[w, o + 1] = f.timestamp
     return out
@@ -80,10 +80,13 @@ def _unpack_frame(buf: jax.Array, n_slots: int) -> M.FrameFeatures:
     right = buf[o:o + n_slots]; o += n_slots
     octave = buf[o:o + n_slots].astype(jnp.int32); o += n_slots
     angle = buf[o:o + n_slots]; o += n_slots
-    bits = jax.lax.bitcast_convert_type(
-        buf[o:o + n_slots * 64].reshape(n_slots, 64), jnp.int8
-    ).reshape(n_slots, 256)
-    o += n_slots * 64
+    packed_desc = jax.lax.bitcast_convert_type(
+        buf[o:o + n_slots * 8].reshape(n_slots, 8), jnp.uint8
+    ).reshape(n_slots, 32)
+    from snakeslam_tpu.ops.descriptors import unpack_bits
+
+    bits = unpack_bits(packed_desc).astype(jnp.int8)
+    o += n_slots * 8
     n_valid = buf[o].astype(jnp.int32)
     ts = buf[o + 1]
     valid = jnp.arange(n_slots) < n_valid

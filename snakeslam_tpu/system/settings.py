@@ -103,6 +103,11 @@ class Settings:
     height: int = 480
     bf: float = 0.0               # baseline * fx (stereo/RGBD)
     th_depth: float = 20.0        # close-point threshold multiplier
+    # camera<-body extrinsics (flattened 4x4, row-major); identity when the
+    # IMU frame coincides with the camera (the reference's camera_to_body,
+    # used at Snake/Tracking/TrackingCoarse.cpp:322-327)
+    T_cam_body: tuple = (1.0, 0, 0, 0, 0, 1.0, 0, 0,
+                         0, 0, 1.0, 0, 0, 0, 0, 1.0)
 
     def set_default_parameters_for_dataset(self):
         """Per-dataset preset overrides (reference: Settings.cpp:161-202)."""
