@@ -211,10 +211,127 @@ class SlamMap:
         if pt < 0:
             return
         self.kf_obs[kf, feat] = -1
-        sel = (self.pt_obs_kf[pt] == kf) & (self.pt_obs_feat[pt] == feat)
-        self.pt_obs_kf[pt, sel] = -1
-        self.pt_obs_feat[pt, sel] = -1
-        self.pt_n_obs[pt] -= int(sel.sum())
+        sel = np.nonzero(
+            (self.pt_obs_kf[pt] == kf) & (self.pt_obs_feat[pt] == feat)
+        )[0]
+        for s_idx in sel[::-1]:
+            # keep the slot array dense (swap-with-last) so bulk insertion
+            # can write at slot pt_n_obs directly
+            last = self.pt_n_obs[pt] - 1
+            self.pt_obs_kf[pt, s_idx] = self.pt_obs_kf[pt, last]
+            self.pt_obs_feat[pt, s_idx] = self.pt_obs_feat[pt, last]
+            self.pt_obs_kf[pt, last] = -1
+            self.pt_obs_feat[pt, last] = -1
+            self.pt_n_obs[pt] = last
+
+    def add_observations_bulk(self, kf: int, feats: np.ndarray,
+                              pts: np.ndarray) -> np.ndarray:
+        """Vectorized add_observation for NEW (kf, feat, pt) links: every
+        point must not already observe this keyframe and the feature slots
+        must be free.  Returns a mask of successfully linked entries."""
+        feats = np.asarray(feats)
+        pts = np.asarray(pts)
+        slots = self.pt_n_obs[pts]
+        ok = slots < MAX_OBS
+        # observation slots are kept dense, so slot == n_obs
+        f_ok = feats[ok]
+        p_ok = pts[ok]
+        s_ok = slots[ok]
+        self.kf_obs[kf, f_ok] = p_ok
+        self.pt_obs_kf[p_ok, s_ok] = kf
+        self.pt_obs_feat[p_ok, s_ok] = f_ok
+        self.pt_n_obs[p_ok] = s_ok + 1
+        return ok
+
+    def allocate_points_bulk(self, positions, descs, ref_kf: int,
+                             ref_depths, ref_levels, normals) -> np.ndarray:
+        """Vectorized allocate_point for n new points (contiguous ids)."""
+        n = len(positions)
+        ids = np.empty(n, dtype=np.int64)
+        n_free = min(len(self._free_pts), n)
+        for i in range(n_free):
+            ids[i] = self._free_pts.pop()
+        n_new = n - n_free
+        if n_new:
+            if self._next_pt + n_new > self.max_points:
+                raise RuntimeError("point pool exhausted")
+            ids[n_free:] = np.arange(self._next_pt, self._next_pt + n_new)
+            self._next_pt += n_new
+        self.pt_valid[ids] = True
+        self.pt_pos[ids] = positions
+        self.pt_normal[ids] = normals
+        self.pt_desc[ids] = descs
+        self.pt_bits[ids] = np.unpackbits(
+            np.asarray(descs, dtype=np.uint8), axis=1, bitorder="little"
+        )
+        self.pt_ref_kf[ids] = ref_kf
+        self.pt_ref_depth[ids] = ref_depths
+        self.pt_ref_level[ids] = ref_levels
+        self.pt_found[ids] = 1
+        self.pt_visible[ids] = 1
+        self.pt_first_kf[ids] = ref_kf
+        self.pt_obs_kf[ids] = -1
+        self.pt_obs_feat[ids] = -1
+        self.pt_n_obs[ids] = 0
+        return ids
+
+    def update_points_bulk(self, pts: np.ndarray):
+        """Vectorized distinctive-descriptor + viewing-normal update for a
+        batch of points (MapPoint.cpp:60-81,120-166 semantics)."""
+        pts = np.asarray(pts)
+        if len(pts) == 0:
+            return
+        okf = self.pt_obs_kf[pts]            # (n, MAX_OBS)
+        ofe = self.pt_obs_feat[pts]
+        valid = okf >= 0
+        k = np.maximum(okf, 0)
+        f = np.maximum(ofe, 0)
+        # ---- distinctive descriptor: min median pairwise Hamming ----
+        bits = np.unpackbits(
+            self.kf_feat_desc[k, f], axis=-1, bitorder="little"
+        ).astype(np.int8)                    # (n, M, 256)
+        dots = np.einsum("nmb,nob->nmo", bits, bits, dtype=np.int32)
+        w = bits.sum(axis=-1, dtype=np.int32)
+        dist = w[:, :, None] + w[:, None, :] - 2 * dots    # (n, M, M)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        dist = np.where(pair_ok, dist, 9999)
+        dist_sorted = np.sort(dist, axis=2).astype(np.float64)
+        counts = valid.sum(axis=1)
+        med_idx = np.maximum((counts - 1) // 2, 0)
+        med = np.take_along_axis(
+            dist_sorted, med_idx[:, None, None].repeat(MAX_OBS, axis=1),
+            axis=2,
+        )[:, :, 0]
+        med = np.where(valid, med, np.inf)
+        best = med.argmin(axis=1)
+        rows = np.arange(len(pts))
+        self.pt_desc[pts] = self.kf_feat_desc[k[rows, best], f[rows, best]]
+        self.pt_bits[pts] = bits[rows, best]
+        # ---- viewing normal ----
+        T = self.kf_pose[k]                   # (n, M, 4, 4)
+        centers = -np.einsum("nmij,nmj->nmi",
+                             T[:, :, :3, :3].transpose(0, 1, 3, 2),
+                             T[:, :, :3, 3])
+        normals = centers - self.pt_pos[pts][:, None, :]
+        norms = np.linalg.norm(normals, axis=2, keepdims=True)
+        normals = np.where(valid[:, :, None],
+                           normals / np.maximum(norms, 1e-9), 0.0)
+        mean_n = normals.sum(axis=1) / np.maximum(counts[:, None], 1)
+        mn = np.linalg.norm(mean_n, axis=1, keepdims=True)
+        self.pt_normal[pts] = mean_n / np.maximum(mn, 1e-9)
+        # ---- reference depth/level ----
+        ref = self.pt_ref_kf[pts]
+        is_ref = (okf == ref[:, None]) & valid
+        has_ref = is_ref.any(axis=1)
+        ref_col = is_ref.argmax(axis=1)
+        Tr = self.kf_pose[np.maximum(ref, 0)]
+        cam_c = -np.einsum("nij,nj->ni", Tr[:, :3, :3].transpose(0, 2, 1),
+                           Tr[:, :3, 3])
+        d = np.linalg.norm(self.pt_pos[pts] - cam_c, axis=1)
+        self.pt_ref_depth[pts[has_ref]] = d[has_ref]
+        self.pt_ref_level[pts[has_ref]] = self.kf_feat_octave[
+            np.maximum(ref[has_ref], 0), f[rows[has_ref], ref_col[has_ref]]
+        ]
 
     def point_observations(self, pt: int):
         """(kf_ids, feat_slots) arrays for a point's live observations."""

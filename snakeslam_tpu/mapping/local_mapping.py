@@ -88,8 +88,7 @@ class LocalMapper:
         # bidirectional neighbor fusion (MapSearcher, LocalMapping.cpp:70-80)
         if self.map_searcher is not None:
             self.map_searcher.process(kf)
-        for pt in self.map.keyframe_points(kf):
-            self.map.update_point_descriptor_and_normal(int(pt))
+        self.map.update_points_bulk(self.map.keyframe_points(kf))
         # IMU preintegration hook runs BEFORE LBA (LocalMapping.cpp:86-90)
         if self.imu_solver is not None:
             self.imu_solver.process_new_keyframe(kf, int(self.map.kf_prev[kf]))
@@ -130,31 +129,33 @@ class LocalMapper:
                 smap.add_observation(kf, int(i), pt)
 
     def _insert_stereo_points(self, kf: int, frame: FrameData):
-        """Create map points for unmatched depth features
+        """Create map points for unmatched depth features, fully vectorized
         (LocalMapping.cpp:220-254)."""
         smap = self.map
         T = smap.kf_pose[kf]
         Rinv = T[:3, :3].T
         cam_pos = -Rinv @ T[:3, 3]
         fx, fy, cx, cy = self.s.fx, self.s.fy, self.s.cx, self.s.cy
-        sel = (frame.depth > 0) & (frame.matches < 0)
-        for i in np.nonzero(sel)[0]:
-            z = frame.depth[i]
-            pc = np.array([
-                (frame.uv[i, 0] - cx) / fx * z,
-                (frame.uv[i, 1] - cy) / fy * z,
-                z,
-            ])
-            wp = Rinv @ pc + cam_pos
-            normal = cam_pos - wp
-            normal /= max(np.linalg.norm(normal), 1e-9)
-            pt = smap.allocate_point(
-                wp, frame.descriptors[i], kf, float(np.linalg.norm(pc)),
-                int(frame.octave[i]), normal,
-            )
-            smap.add_observation(kf, int(i), pt)
-            frame.matches[i] = pt
-            self.recent_points.append((pt, kf))
+        sel = np.nonzero((frame.depth > 0) & (frame.matches < 0))[0]
+        if len(sel) == 0:
+            return
+        z = frame.depth[sel]
+        pc = np.stack([
+            (frame.uv[sel, 0] - cx) / fx * z,
+            (frame.uv[sel, 1] - cy) / fy * z,
+            z,
+        ], axis=1)
+        wp = pc @ Rinv.T + cam_pos
+        normals = cam_pos - wp
+        normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
+                              1e-9)
+        pts = smap.allocate_points_bulk(
+            wp, frame.descriptors[sel], kf, np.linalg.norm(pc, axis=1),
+            frame.octave[sel], normals,
+        )
+        smap.add_observations_bulk(kf, sel, pts)
+        frame.matches[sel] = pts
+        self.recent_points.extend((int(p), kf) for p in pts)
 
     def _cull_recent_points(self, kf: int):
         """Found-ratio / observation-count culling (LocalMapping.cpp:267-313)."""
