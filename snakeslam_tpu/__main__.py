@@ -47,6 +47,9 @@ def main(argv=None):
 
     out_dir = Path(settings.eval_dir)
     system.write_trajectories(out_dir)
+    from snakeslam_tpu.viewer.export import export_viewer_snapshot
+
+    export_viewer_snapshot(system.map, out_dir, tag=settings.out_file_prefix)
     n = len(system.tracker.trajectory)
     print(f"tracked {n} frames in {wall:.1f}s "
           f"({n / max(wall, 1e-9):.1f} fps)")

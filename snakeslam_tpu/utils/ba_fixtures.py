@@ -18,9 +18,9 @@ def make_synthetic_ba_problem(C=8, P=256, M=8, noise_px=0.2, pose_noise=0.01,
     pts[:, 2] += 14.0
     cams_true = np.stack([
         np.asarray(lie.se3_exp(jnp.asarray(
-            [0.4 * c, 0.02 * c, 0.0, 0.0, 0.04 * c, 0.0], dtype=jnp.float64
+            np.array([0.4 * c, 0.02 * c, 0.0, 0.0, 0.04 * c, 0.0])
         ))) for c in range(C)
-    ])
+    ]).astype(np.float64)
     obs_cam = np.full((P, M), -1, dtype=np.int32)
     obs_uv = np.zeros((P, M, 2))
     obs_right = np.full((P, M), -1.0)
@@ -42,8 +42,8 @@ def make_synthetic_ba_problem(C=8, P=256, M=8, noise_px=0.2, pose_noise=0.01,
     for c in range(n_fixed, C):
         xi = rng.normal(size=6) * pose_noise
         cam_noisy[c] = np.asarray(
-            lie.se3_exp(jnp.asarray(xi, dtype=jnp.float64))
-        ) @ cams_true[c]
+            lie.se3_exp(jnp.asarray(xi))
+        ).astype(np.float64) @ cams_true[c]
     fixed = np.zeros(C, dtype=bool)
     fixed[:n_fixed] = True
     problem = BA.BAProblem(
