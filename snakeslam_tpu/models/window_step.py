@@ -149,7 +149,7 @@ def window_track(
             mask=matched_c,
         )
         T1, _, n1 = robust_pose_refine(T_pred, obs, cam, bf,
-                                       outer_iters=2, inner_iters=3)
+                                       outer_iters=1, inner_iters=3)
         # fine: tighter radius from the refined pose
         outf = M.search_by_projection_fine(
             lm, frame, T1, cam, bf, bounds, st,
@@ -165,7 +165,7 @@ def window_track(
             mask=matched,
         )
         T2, inlier, n2 = robust_pose_refine(T1, obs, cam, bf,
-                                            outer_iters=2, inner_iters=3)
+                                            outer_iters=2, inner_iters=2)
         assign = jnp.where(inlier, assign, -1)
         visible = outf["visible"]
         found = jnp.zeros((P,), dtype=jnp.float32).at[
