@@ -42,7 +42,8 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     if n_frames is None:
         n_frames = int(os.environ.get("BENCH_FRAMES", 400))
     if window is None:
-        window = int(os.environ.get("BENCH_WINDOW", 16))
+        window = int(os.environ.get("BENCH_WINDOW", 64))
+    two_stage = os.environ.get("BENCH_TWO_STAGE", "1") == "1"
 
     def build(seed, count):
         settings = Settings()
@@ -71,11 +72,11 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     system, frames = build(123, max(warmup_frames, 48))
     for f in frames:
         f.timestamp = f.frame_id / 10.0  # dense keyframes during warmup
-    WindowedRunner(system, window=window).run(frames)
+    WindowedRunner(system, window=window, two_stage=two_stage).run(frames)
 
     # timed run on a fresh system (same shapes -> compile cache hits)
     system, frames = build(7, n_frames)
-    runner = WindowedRunner(system, window=window)
+    runner = WindowedRunner(system, window=window, two_stage=two_stage)
     t0 = time.perf_counter()
     runner.run(frames)
     wall = time.perf_counter() - t0

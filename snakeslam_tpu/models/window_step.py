@@ -94,7 +94,7 @@ def _unpack_frame(buf: jax.Array, n_slots: int) -> M.FrameFeatures:
                            desc_bits=bits, valid=valid), ts
 
 
-@functools.partial(jax.jit, static_argnames=("n_slots",))
+@functools.partial(jax.jit, static_argnames=("n_slots", "two_stage"))
 def window_track(
     lm: M.LocalMapPoints,
     frames_buf: jax.Array,        # (W, K) packed frames
@@ -117,6 +117,7 @@ def window_track(
     is_stereo: jax.Array,         # () bool
     th_depth: jax.Array,          # () close-point threshold
     n_slots: int = 1024,
+    two_stage: bool = True,
 ):
     """Track up to W frames against one local-map snapshot.
 
@@ -134,30 +135,41 @@ def window_track(
     inv_scales = 1.0 / scales
 
     def track_one(T_pred, frame):
-        # coarse: prediction-radius matching against the snapshot
-        outc = M.search_by_projection_coarse(
-            lm, frame, T_pred, cam, bf, bounds, st,
-            feat_free=frame.valid, th=coarse_radius, feature_error=75,
-            use_rotation_hist=False,
-        )
-        assign_c = outc["feat_point"]
-        matched_c = assign_c >= 0
-        pidx = jnp.clip(assign_c, 0, P - 1)
-        obs = PoseObs(
-            points=lm.position[pidx], uv=frame.uv, right=frame.right,
-            weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
-            mask=matched_c,
-        )
-        T1, _, n1 = robust_pose_refine(T_pred, obs, cam, bf,
-                                       outer_iters=1, inner_iters=3)
-        # fine: tighter radius from the refined pose
-        outf = M.search_by_projection_fine(
-            lm, frame, T1, cam, bf, bounds, st,
-            feat_free=frame.valid & (~matched_c), th=fine_th, ratio=0.8,
-        )
-        assign_f = outf["feat_point"]
-        matched = matched_c | (assign_f >= 0)
-        assign = jnp.where(matched_c, assign_c, assign_f)
+        if two_stage:
+            # coarse: prediction-radius matching against the snapshot
+            outc = M.search_by_projection_coarse(
+                lm, frame, T_pred, cam, bf, bounds, st,
+                feat_free=frame.valid, th=coarse_radius, feature_error=75,
+                use_rotation_hist=False,
+            )
+            assign_c = outc["feat_point"]
+            matched_c = assign_c >= 0
+            pidx = jnp.clip(assign_c, 0, P - 1)
+            obs = PoseObs(
+                points=lm.position[pidx], uv=frame.uv, right=frame.right,
+                weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
+                mask=matched_c,
+            )
+            T1, _, n1 = robust_pose_refine(T_pred, obs, cam, bf,
+                                           outer_iters=1, inner_iters=3)
+            # fine: tighter radius from the refined pose
+            outf = M.search_by_projection_fine(
+                lm, frame, T1, cam, bf, bounds, st,
+                feat_free=frame.valid & (~matched_c), th=fine_th, ratio=0.8,
+            )
+            assign_f = outf["feat_point"]
+            matched = matched_c | (assign_f >= 0)
+            assign = jnp.where(matched_c, assign_c, assign_f)
+        else:
+            # single-stage: prediction is excellent within a window, so one
+            # wider fine search replaces coarse+fine (half the GN steps)
+            T1 = T_pred
+            outf = M.search_by_projection_fine(
+                lm, frame, T_pred, cam, bf, bounds, st,
+                feat_free=frame.valid, th=2.0 * fine_th, ratio=0.8,
+            )
+            assign = outf["feat_point"]
+            matched = assign >= 0
         pidx = jnp.clip(assign, 0, P - 1)
         obs = PoseObs(
             points=lm.position[pidx], uv=frame.uv, right=frame.right,

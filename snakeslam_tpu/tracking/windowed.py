@@ -19,10 +19,11 @@ from snakeslam_tpu.tracking.tracker import TrackingState
 
 
 class WindowedRunner:
-    def __init__(self, system, window: int = 16):
+    def __init__(self, system, window: int = 16, two_stage: bool = True):
         self.system = system
         self.tracker = system.tracker
         self.window = window
+        self.two_stage = two_stage
         self.n_device_calls = 0
 
     # ------------------------------------------------------------------
@@ -99,7 +100,7 @@ class WindowedRunner:
                 t.cam, t.bf, t.bounds, t.scales, t.log_sf,
                 t.coarse_radius, t.fine_th,
                 **self._decision_scalars(),
-                n_slots=Ns,
+                n_slots=Ns, two_stage=self.two_stage,
             ))
             self.n_device_calls += 1
 
