@@ -37,16 +37,19 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: the pipeline's jitted programs (tracking
 # megasteps, BA, matchers) compile once per shape and reload instantly in
-# later processes — TPU compiles are 20-40 s each
+# later processes — TPU compiles are 20-40 s each.  Enabled only when a TPU
+# platform is configured: CPU AOT artifacts are machine-feature-specific and
+# reloading them across feature sets mis-executes.
 import os as _os
 
 _cache_dir = _os.environ.get(
     "SNAKESLAM_JIT_CACHE",
     _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
 )
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+if "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

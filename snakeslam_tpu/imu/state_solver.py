@@ -155,13 +155,41 @@ class ImuStateSolver:
 
     def _chain_keyframes(self):
         """Consecutive (kf, edge) pairs along the temporal chain, oldest
-        first, for edges whose endpoints are still alive."""
+        first, for edges whose endpoints are still alive.  An edge is also
+        dropped when its preintegration span no longer matches the keyframe
+        timestamp gap (the endpoints were erased and their pool ids reused
+        — keyframe pools recycle ids, Map.h:48-77 semantics)."""
         out = []
+        stale = []
         for kf, edge in self.edges.items():
-            if self.map.kf_valid[kf] and self.map.kf_valid[edge.prev_kf]:
-                out.append((int(edge.prev_kf), int(kf), edge))
+            if not (self.map.kf_valid[kf] and self.map.kf_valid[edge.prev_kf]):
+                continue
+            gap = (self.map.kf_timestamp[kf]
+                   - self.map.kf_timestamp[edge.prev_kf])
+            span = float(edge.preint.dt)
+            if gap <= 0 or abs(gap - span) > 0.2 * max(gap, span):
+                stale.append(kf)
+                continue
+            out.append((int(edge.prev_kf), int(kf), edge))
+        for kf in stale:
+            self.edges.pop(kf, None)
         out.sort(key=lambda e: self.map.kf_frame_id[e[1]])
         return out
+
+    @staticmethod
+    def _connected_suffix(chain):
+        """Longest run of consecutive edges ending at the newest keyframe
+        (edge k's end must be edge k+1's start).  The temporal chain can
+        break when intermediate keyframes are culled; feeding a broken
+        chain to the fixed-shape solver would pair poses with the wrong
+        preintegrations."""
+        if not chain:
+            return chain
+        start = 0
+        for k in range(len(chain) - 1):
+            if chain[k][1] != chain[k + 1][0]:
+                start = k + 1
+        return chain[start:]
 
     def _body_rotation(self, kf: int) -> np.ndarray:
         """R_wb of a keyframe: T_bw = T_cb^-1 T_cw -> R_wb = (R_cb^T R_cw)^T."""
@@ -227,8 +255,8 @@ class ImuStateSolver:
         if len(chain) < MIN_KF_FOR_SCALE:
             return
         # consecutive-edge triplets need edge j's end == edge j+1's start
-        ok = all(chain[k][1] == chain[k + 1][0] for k in range(len(chain) - 1))
-        if not ok:
+        chain = self._connected_suffix(chain)
+        if len(chain) < MIN_KF_FOR_SCALE:
             return
         R = np.stack(
             [self.map.kf_pose[chain[0][0]][:3, :3].T]
@@ -299,6 +327,7 @@ class ImuStateSolver:
             jnp.stack([x.dp for x in pre]),
             jnp.ones(len(pre), dtype=bool),
             jnp.float64(1.0), jnp.asarray(self.gravity, F64),
+            dv=jnp.stack([x.dv for x in pre]),
         )
         ids = [chain[0][0]] + [j for _, j, _ in chain]
         self.map.kf_velocity[ids] = np.asarray(vel)
@@ -331,7 +360,7 @@ class ImuStateSolver:
     # ------------------------------------------------------------------
 
     def _solve_chain(self, solve_scale: bool = False):
-        chain = self._chain_keyframes()
+        chain = self._connected_suffix(self._chain_keyframes())
         if len(chain) < 3:
             return
         ids = [chain[0][0]] + [j for _, j, _ in chain]
@@ -341,6 +370,18 @@ class ImuStateSolver:
              for k in ids]
         )
         pre = [e.preint for _, _, e in chain]
+        # velocities are free variables: re-initialize them closed-form from
+        # the current poses + preintegrations so insertion-time prediction
+        # drift can never seed the GN into a bad basin
+        v_init = IMU.velocities_from_pairs(
+            jnp.asarray(R, F64), jnp.asarray(p, F64),
+            jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
+            jnp.stack([x.dp for x in pre]),
+            jnp.ones(len(pre), dtype=bool),
+            jnp.float64(1.0), jnp.asarray(self.gravity, F64),
+            dv=jnp.stack([x.dv for x in pre]),
+        )
+        self.map.kf_velocity[ids] = np.asarray(v_init)
         ch = IMU.ImuChain(
             R=jnp.asarray(R, F64),
             p=jnp.asarray(p, F64),
@@ -362,11 +403,18 @@ class ImuStateSolver:
             solve_scale=solve_scale, iterations=4,
             prior_bias_weight=10.0,
         )
-        self.bg = np.asarray(out["bg"], dtype=np.float64)
-        self.ba = np.asarray(out["ba"], dtype=np.float64)
         s = float(out["s"])
-        if not np.isfinite(s) or abs(np.log(max(s, 1e-9))) > np.log(1.5):
+        new_bg = np.asarray(out["bg"], dtype=np.float64)
+        new_ba = np.asarray(out["ba"], dtype=np.float64)
+        if (not np.isfinite(s)
+                or abs(np.log(max(s, 1e-9))) > np.log(1.5)
+                or not np.isfinite(new_bg).all()
+                or not np.isfinite(new_ba).all()
+                or np.linalg.norm(new_bg) > 0.3
+                or np.linalg.norm(new_ba) > 2.0):
             return  # refinement diverged; keep the current state
+        self.bg = new_bg
+        self.ba = new_ba
         self.map.kf_velocity[ids] = np.asarray(out["v"])
         g_new = np.asarray(out["g"], dtype=np.float64)
         # re-canonicalize gravity + scale onto the map

@@ -245,10 +245,13 @@ def solve_scale_gravity(
 
 
 @jax.jit
-def velocities_from_pairs(R, p, dt, dp, valid, s, g):
+def velocities_from_pairs(R, p, dt, dp, valid, s, g, dv=None):
     """Closed-form per-KF velocities given scale and gravity:
     v_i = (s (p_j - p_i) - 0.5 g dt^2 - R_i dp) / dt  for each pair (i, j);
-    the last keyframe extrapolates from the final pair."""
+    the last keyframe propagates the final pair through the velocity
+    equation v_j = v_i + g dt + R_i dv.  dv is the preintegrated velocity
+    (specific force) delta per edge; it contains -g dt, so omitting it
+    would bias the last velocity by ~|g| dt."""
     p_i, p_j = p[:-1], p[1:]
     R_i = R[:-1]
     num = (
@@ -259,6 +262,8 @@ def velocities_from_pairs(R, p, dt, dp, valid, s, g):
     v = num / jnp.maximum(dt, 1e-6)[:, None]
     v = jnp.where(valid[:, None], v, 0.0)
     v_last = v[-1] + g * dt[-1]
+    if dv is not None:
+        v_last = v_last + R_i[-1] @ dv[-1]
     return jnp.concatenate([v, v_last[None]], axis=0)
 
 

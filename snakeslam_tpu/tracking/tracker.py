@@ -566,6 +566,10 @@ class Tracker:
         if self.map.n_keyframes < self.s.reloc_min_keyframes:
             # early loss: clear the map and re-initialize
             self.map.clear()
+            if self.imu_solver is not None:
+                # stale edges keyed by reused keyframe ids would poison the
+                # VI chain after the pool recycles ids
+                self.imu_solver.clear()
             self.state = TrackingState.NOT_INITIALIZED
             self.last_kf = -1
             self.last_frame = None

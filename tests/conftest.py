@@ -21,6 +21,8 @@ import jax
 # on the host CPU (deterministic, fast compiles, 8 virtual devices).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
+# never reuse persistent compile artifacts in tests (machine-feature drift)
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np
 import pytest
