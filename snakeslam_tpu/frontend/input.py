@@ -43,6 +43,15 @@ class Input:
             cache = str(dataset_root) + "/features"
         self.detector = FeatureDetector(settings, cache_dir=cache)
         self.preprocess = Preprocess(settings, distortion=dist)
+        self.depth_processor = None
+        if settings.depth_filter_enable and settings.bf > 0:
+            from snakeslam_tpu.frontend.depth_processor import DepthProcessor
+            self.depth_processor = DepthProcessor(
+                fx=settings.fx, bf=settings.bf,
+                gauss_radius=settings.depth_filter_gauss_radius,
+                hyst_min=settings.depth_filter_hyst_min,
+                hyst_max=settings.depth_filter_hyst_max,
+            )
 
     # ------------------------------------------------------------------
 
@@ -50,7 +59,10 @@ class Input:
         frame = self.detector.detect(raw.gray, raw.frame_id, raw.timestamp)
         self.preprocess.undistort_keypoints(frame)
         if raw.depth is not None:
-            self.preprocess.depth_from_rgbd(frame, raw.depth)
+            depth = raw.depth
+            if self.depth_processor is not None:
+                depth = self.depth_processor.process(depth)
+            self.preprocess.depth_from_rgbd(frame, depth)
         elif raw.right is not None and self.s.input_type == InputType.Stereo:
             right_frame = self.detector.detect(
                 raw.right, raw.frame_id + 10_000_000, raw.timestamp

@@ -103,6 +103,12 @@ class Settings:
     height: int = 480
     bf: float = 0.0               # baseline * fx (stereo/RGBD)
     th_depth: float = 20.0        # close-point threshold multiplier
+    # RGBD depth-map preprocessing (DepthProcessor2 parity,
+    # System.cpp:226-241: {dont_care=0, gauss_radius=2, hyst 7..9})
+    depth_filter_enable: bool = False
+    depth_filter_gauss_radius: int = 2
+    depth_filter_hyst_min: float = 7.0
+    depth_filter_hyst_max: float = 9.0
     # camera<-body extrinsics (flattened 4x4, row-major); identity when the
     # IMU frame coincides with the camera (the reference's camera_to_body,
     # used at Snake/Tracking/TrackingCoarse.cpp:322-327)
