@@ -47,6 +47,7 @@ class FrameData:
     imu_acc: np.ndarray | None = None     # (s, 3) m/s^2
     imu_dt: np.ndarray | None = None      # (s,)
     imu_t: np.ndarray | None = None       # (s,) sample start times
+    imu_dR_cam: np.ndarray | None = None  # (3,3) gyro-predicted camera dR
 
     # tracking state (filled by the tracker)
     pose_cw: np.ndarray | None = None     # (4, 4) world->camera

@@ -35,10 +35,13 @@ from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
 
 # packed frame layout (per frame, all f32):
 #   uv (N,2) | right (N,) | octave (N,) | angle (N,) | packed desc (N,8
-#   f32-bitcast of 32 uint8) | n_valid (1) | timestamp (1)
+#   f32-bitcast of 32 uint8) | n_valid (1) | timestamp (1) | dR_imu (9)
 # Descriptors travel PACKED (32 B) and are unpacked to bit planes on device:
 # the H2D link is bandwidth-bound, so the window buffer is ~13 f32/feature.
-FRAME_SCALARS = 2
+# dR_imu is the gyro-predicted camera-frame relative rotation from the
+# previous frame (identity when no IMU) — the reference's IMU-based pose
+# prediction in coarse tracking (Snake/Tracking/TrackingCoarse.cpp:322-327).
+FRAME_SCALARS = 2 + 9
 
 
 def frame_buffer_width(n_slots: int) -> int:
@@ -71,6 +74,10 @@ def pack_frames_np(frames, n_slots: int) -> np.ndarray:
         o += n_slots * 8
         out[w, o] = n
         out[w, o + 1] = f.timestamp
+        dR = getattr(f, "imu_dR_cam", None)
+        out[w, o + 2:o + 11] = (np.eye(3, dtype=np.float32).ravel()
+                                if dR is None
+                                else np.asarray(dR, np.float32).ravel())
     return out
 
 
@@ -89,12 +96,13 @@ def _unpack_frame(buf: jax.Array, n_slots: int) -> M.FrameFeatures:
     o += n_slots * 8
     n_valid = buf[o].astype(jnp.int32)
     ts = buf[o + 1]
+    dR_imu = buf[o + 2:o + 11].reshape(3, 3)
     valid = jnp.arange(n_slots) < n_valid
     return M.FrameFeatures(uv=uv, right=right, octave=octave, angle=angle,
-                           desc_bits=bits, valid=valid), ts
+                           desc_bits=bits, valid=valid), ts, dR_imu
 
 
-@functools.partial(jax.jit, static_argnames=("n_slots", "two_stage"))
+@functools.partial(jax.jit, static_argnames=("n_slots", "two_stage", "use_imu"))
 def window_track(
     lm: M.LocalMapPoints,
     frames_buf: jax.Array,        # (W, K) packed frames
@@ -118,6 +126,7 @@ def window_track(
     th_depth: jax.Array,          # () close-point threshold
     n_slots: int = 1024,
     two_stage: bool = True,
+    use_imu: bool = False,
 ):
     """Track up to W frames against one local-map snapshot.
 
@@ -230,8 +239,14 @@ def window_track(
 
     def scan_body(carry, frame_buf):
         T_last_c, vel, stopped = carry
-        frame, ts = _unpack_frame(frame_buf, n_slots)
+        frame, ts, dR_imu = _unpack_frame(frame_buf, n_slots)
         T_pred = vel @ T_last_c
+        if use_imu:
+            # gyro-predicted rotation, constant-velocity translation
+            # (reference TrackingCoarse.cpp:322-327 prediction split)
+            T_pred = lie.orthonormalize(
+                T_pred.at[:3, :3].set(dR_imu @ T_last_c[:3, :3])
+            )
         T, assign, n_inl, visible, found = track_one(T_pred, frame)
         ok = n_inl >= 25
         need_kf = kf_decision(T, n_inl, ts, frame, assign)

@@ -18,6 +18,25 @@ from snakeslam_tpu.system.settings import InputType
 from snakeslam_tpu.tracking.tracker import TrackingState
 
 
+def _rodrigues(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def gyro_delta_rotation(omega: np.ndarray, dt: np.ndarray,
+                        bg: np.ndarray) -> np.ndarray:
+    """Body-frame relative rotation dR = prod exp((w - bg) dt) over the
+    frame's gyro samples (host-side; a handful of 3x3 products)."""
+    dR = np.eye(3)
+    for w, h in zip(omega, dt):
+        dR = dR @ _rodrigues((w - bg) * h)
+    return dR
+
+
 class WindowedRunner:
     def __init__(self, system, window: int = 16, two_stage: bool = True):
         self.system = system
@@ -25,6 +44,25 @@ class WindowedRunner:
         self.window = window
         self.two_stage = two_stage
         self.n_device_calls = 0
+        self.imu_solver = getattr(system, "imu_solver", None)
+
+    def _use_imu(self) -> bool:
+        sol = self.imu_solver
+        return sol is not None and sol.gyro_initialized
+
+    def _attach_imu_prediction(self, batch):
+        """Gyro-predicted camera-frame relative rotation per frame
+        (prediction input for the scan; TrackingCoarse.cpp:322-327)."""
+        sol = self.imu_solver
+        R_cb = sol.R_cb
+        for f in batch:
+            if getattr(f, "imu_dR_cam", None) is not None:
+                continue
+            if f.imu_omega is None or not len(f.imu_omega):
+                f.imu_dR_cam = np.eye(3)
+                continue
+            dR = gyro_delta_rotation(f.imu_omega, f.imu_dt, sol.bg)
+            f.imu_dR_cam = R_cb @ dR.T @ R_cb.T
 
     # ------------------------------------------------------------------
 
@@ -89,6 +127,9 @@ class WindowedRunner:
 
             batch = frames[i:i + W]
             actual = len(batch)
+            use_imu = self._use_imu()
+            if use_imu:
+                self._attach_imu_prediction(batch)
             while len(batch) < W:  # pad to the compiled width
                 batch = batch + [batch[-1]]
             buf = pack_frames_np(batch, Ns)
@@ -100,7 +141,7 @@ class WindowedRunner:
                 t.cam, t.bf, t.bounds, t.scales, t.log_sf,
                 t.coarse_radius, t.fine_th,
                 **self._decision_scalars(),
-                n_slots=Ns, two_stage=self.two_stage,
+                n_slots=Ns, two_stage=self.two_stage, use_imu=use_imu,
             ))
             self.n_device_calls += 1
 
@@ -120,6 +161,9 @@ class WindowedRunner:
                 if not ok:
                     break  # re-run this frame through the full tracker
                 frame = batch[w]
+                if self.imu_solver is not None:
+                    # keep keyframe-edge preintegration windows complete
+                    self.imu_solver.add_frame_samples(frame)
                 frame.pose_cw = row[:16].reshape(4, 4).astype(np.float64)
                 assign = row[20:20 + Ns].astype(np.int64)[: frame.n]
                 matches = np.full(frame.n, -1, dtype=np.int64)
