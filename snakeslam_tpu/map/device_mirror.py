@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.map.slam_map import SlamMap
+from snakeslam_tpu.ops.descriptors import unpack_bits
 from snakeslam_tpu.ops.matching import LocalMapPoints
 
 
@@ -32,15 +33,17 @@ def _bucket(n: int, minimum: int = 4096) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _gather_points(pos, normal, bits, ref_depth, ref_level, ids, valid,
+def _gather_points(pos, normal, desc_packed, ref_depth, ref_level, ids, valid,
                    angle, octave_override, use_override):
     idx = jnp.clip(ids, 0, pos.shape[0] - 1)
     lvl = jnp.where(use_override, octave_override,
                     ref_level[idx].astype(jnp.int32))
+    # descriptors live packed (32 B) in the mirror — 8x less HBM/H2D —
+    # and expand to bit planes on device only for the gathered subset
     return LocalMapPoints(
         position=pos[idx],
         normal=normal[idx],
-        desc_bits=bits[idx],
+        desc_bits=unpack_bits(desc_packed[idx]).astype(jnp.int8),
         ref_depth=ref_depth[idx],
         ref_level=lvl,
         angle=angle,
@@ -65,7 +68,7 @@ class DeviceMapMirror:
         self._arrays = (
             jnp.asarray(smap.pt_pos[:cap], dtype=jnp.float32),
             jnp.asarray(smap.pt_normal[:cap]),
-            jnp.asarray(smap.pt_bits[:cap]),
+            jnp.asarray(smap.pt_desc[:cap]),  # packed 32 B/descriptor
             jnp.asarray(smap.pt_ref_depth[:cap]),
             jnp.asarray(smap.pt_ref_level[:cap].astype(np.int32)),
         )

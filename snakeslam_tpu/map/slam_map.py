@@ -291,7 +291,11 @@ class SlamMap:
         bits = np.unpackbits(
             self.kf_feat_desc[k, f], axis=-1, bitorder="little"
         ).astype(np.int8)                    # (n, M, 256)
-        dots = np.einsum("nmb,nob->nmo", bits, bits, dtype=np.int32)
+        # pairwise Hamming as a batched sgemm (popcount(a^b) = wa+wb-2*a.b;
+        # exact in f32 for 256-bit descriptors) — BLAS is ~40x faster than
+        # an int32 einsum here
+        bf32 = bits.astype(np.float32)
+        dots = np.matmul(bf32, bf32.transpose(0, 2, 1)).astype(np.int32)
         w = bits.sum(axis=-1, dtype=np.int32)
         dist = w[:, :, None] + w[:, None, :] - 2 * dots    # (n, M, M)
         pair_ok = valid[:, :, None] & valid[:, None, :]
@@ -558,6 +562,16 @@ class SlamMap:
         if not errs:
             return 0.0
         return float(np.sqrt(np.concatenate(errs).mean()))
+
+    def device_mirror(self):
+        """Shared device-resident point mirror (lazily created): all
+        consumers (tracker, fusion, triangulation, GBA) reuse one synced
+        copy so point payload uploads happen once per map generation."""
+        m = getattr(self, "_device_mirror", None)
+        if m is None:
+            from snakeslam_tpu.map.device_mirror import DeviceMapMirror
+            m = self._device_mirror = DeviceMapMirror(self)
+        return m
 
     def validate(self) -> list[str]:
         """Full map consistency check (Map::valid analog, reference:

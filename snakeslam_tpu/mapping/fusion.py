@@ -24,7 +24,7 @@ from snakeslam_tpu.map.slam_map import SlamMap
 from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
 from snakeslam_tpu.system.settings import Settings
-from snakeslam_tpu.tracking.staging import kf_features_cached, snapshot_points
+from snakeslam_tpu.tracking.staging import kf_features_cached
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -65,7 +65,9 @@ class MapSearcher:
         if len(point_ids) == 0:
             return 0
         if staged is None:
-            staged = snapshot_points(smap, point_ids, self.s.local_map_slots)
+            staged = smap.device_mirror().gather(
+                point_ids, self.s.local_map_slots
+            )
         lm, ids = staged
         feats = kf_features_cached(smap, kf, self.s.feature_slots)
         st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
@@ -109,35 +111,61 @@ class MapSearcher:
 
     def process(self, kf: int, n_neighbors: int = 15) -> int:
         """Bidirectional fuse of `kf` against its best covisible neighbors
-        (NeighbourSearch.cpp:23-53)."""
+        (NeighbourSearch.cpp:23-53).
+
+        Snapshot-once -> search-both -> commit-both: both directions search
+        the same pre-commit map snapshot and their device work is dispatched
+        back-to-back before the single blocking readback, so one fuse pass
+        costs one host<->device round trip and never re-syncs the point
+        mirror mid-insert (the reference's lock-free compute under snapshot
+        + guarded commit, NeighbourSearch.cpp:55-101)."""
         smap = self.map
         ids, w = smap.covisible_keyframes(kf, min_weight=1)
         neighbors = [int(k) for k in ids[:n_neighbors]]
         if not neighbors:
             return 0
         fused = 0
+        mirror = smap.device_mirror()
+        st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
+                           levels=int(self.scales.shape[0]))
         kf_pts = smap.keyframe_points(kf)
         # forward: this KF's points into ALL neighbors in ONE vmapped call,
         # padded to the fixed n_neighbors so exactly one program compiles
+        fp_fwd = ids_f = None
         if len(kf_pts):
             padded = neighbors + [neighbors[-1]] * (n_neighbors - len(neighbors))
-            lm, ids = snapshot_points(smap, kf_pts, self.s.local_map_slots)
+            lm_f, ids_f = mirror.gather(kf_pts, self.s.local_map_slots)
             feats = [kf_features_cached(smap, nb, self.s.feature_slots)
                      for nb in padded]
             feats_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
             poses = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
-            fp_all = np.asarray(_fuse_search_batch(
-                lm, feats_stack, poses, self.cam, self.bf,
+            fp_fwd = _fuse_search_batch(
+                lm_f, feats_stack, poses, self.cam, self.bf,
                 jnp.asarray(self.bounds, dtype=jnp.float32),
                 self.scales, self.log_sf, int(self.scales.shape[0]),
-            ))
-            for bi, nb in enumerate(neighbors):
-                fused += self._commit_fuse(fp_all[bi], ids, nb)
-        # backward: all neighbor points into this KF
+            )
+        # backward: all neighbor points into this KF (same snapshot)
         nb_pts = np.unique(np.concatenate(
             [smap.keyframe_points(nb) for nb in neighbors]
         ))
         nb_pts = nb_pts[smap.pt_valid[nb_pts]]
-        fused += self._fuse_points_into_kf(nb_pts, kf)
+        fp_bwd = ids_b = None
+        if len(nb_pts):
+            lm_b, ids_b = mirror.gather(nb_pts, self.s.local_map_slots)
+            feats_kf = kf_features_cached(smap, kf, self.s.feature_slots)
+            out = M.search_by_projection_fine(
+                lm_b, feats_kf,
+                jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
+                self.cam, self.bf, self.bounds, st,
+                feat_free=feats_kf.valid, th=1.0, ratio=0.9,
+            )
+            fp_bwd = out["feat_point"]
+        # single blocking boundary, then host-side commits
+        if fp_fwd is not None:
+            fp_all = np.asarray(fp_fwd)
+            for bi, nb in enumerate(neighbors):
+                fused += self._commit_fuse(fp_all[bi], ids_f, nb)
+        if fp_bwd is not None:
+            fused += self._commit_fuse(np.asarray(fp_bwd), ids_b, kf)
         smap.state += 1
         return fused

@@ -246,29 +246,48 @@ class LocalMapper:
         match_all = np.asarray(out["match_b"])
         pts_all = np.asarray(out["point"], dtype=np.float64)
 
-        created = 0
+        # vectorized commit: collect accepted candidates per neighbor
+        # (earlier neighbors claim features first, Triangulator.cpp:52-109),
+        # then one bulk allocation + per-keyframe bulk observation links
+        sel_i: list[np.ndarray] = []
+        sel_j: list[np.ndarray] = []
+        sel_nb: list[int] = []
+        sel_wp: list[np.ndarray] = []
+        free_now = free_a.copy()
         for bi, nb in enumerate(int(n) for n in neighbors):
-            valid = valid_all[bi]
-            match_b = match_all[bi]
-            pts = pts_all[bi]
-            for i in np.nonzero(valid)[0]:
-                if not free_a[i]:
-                    continue  # claimed by an earlier neighbor this round
-                j = int(match_b[i])
-                if smap.kf_obs[nb, j] >= 0:
-                    continue
-                wp = pts[i]
-                cam_pos = -smap.kf_pose[kf][:3, :3].T @ smap.kf_pose[kf][:3, 3]
-                normal = cam_pos - wp
-                nn = np.linalg.norm(normal)
-                normal = normal / max(nn, 1e-9)
-                pt = smap.allocate_point(
-                    wp, smap.kf_feat_desc[kf, i], kf, float(nn),
-                    int(smap.kf_feat_octave[kf, i]), normal,
-                )
-                smap.add_observation(kf, int(i), pt)
-                smap.add_observation(nb, j, pt)
-                free_a[i] = False
-                self.recent_points.append((pt, kf))
-                created += 1
-        return created
+            cand = np.nonzero(valid_all[bi] & free_now)[0]
+            if len(cand) == 0:
+                continue
+            j = match_all[bi][cand]
+            ok = smap.kf_obs[nb, j] < 0
+            # a neighbor feature may win multiple rows; keep the first
+            _, first = np.unique(j, return_index=True)
+            keep = np.zeros(len(j), dtype=bool)
+            keep[first] = True
+            cand, j = cand[ok & keep], j[ok & keep]
+            if len(cand) == 0:
+                continue
+            free_now[cand] = False
+            sel_i.append(cand)
+            sel_j.append(j)
+            sel_nb.append(nb)
+            sel_wp.append(pts_all[bi][cand])
+        if not sel_i:
+            return 0
+        all_i = np.concatenate(sel_i)
+        wps = np.concatenate(sel_wp)
+        cam_pos = -smap.kf_pose[kf][:3, :3].T @ smap.kf_pose[kf][:3, 3]
+        normals = cam_pos[None, :] - wps
+        depths = np.linalg.norm(normals, axis=1)
+        normals = normals / np.maximum(depths, 1e-9)[:, None]
+        ids = smap.allocate_points_bulk(
+            wps, smap.kf_feat_desc[kf, all_i], kf, depths,
+            smap.kf_feat_octave[kf, all_i], normals,
+        )
+        smap.add_observations_bulk(kf, all_i, ids)
+        off = 0
+        for cand, j, nb in zip(sel_i, sel_j, sel_nb):
+            smap.add_observations_bulk(nb, j, ids[off:off + len(cand)])
+            off += len(cand)
+        self.recent_points.extend((int(p), kf) for p in ids)
+        return len(ids)

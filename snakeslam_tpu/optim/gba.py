@@ -186,10 +186,7 @@ class GlobalBA:
 
         from snakeslam_tpu.map.slam_map import SlamMap  # noqa: F401
         from snakeslam_tpu.ops import matching as M
-        from snakeslam_tpu.tracking.staging import (
-            pad_frame_features,
-            snapshot_points,
-        )
+        from snakeslam_tpu.tracking.staging import pad_frame_features
 
         smap = self.map
         N = self.s.feature_slots
@@ -229,7 +226,7 @@ class GlobalBA:
             pts = pts[smap.pt_valid[pts]][:P]
             if len(pts) < 20:
                 continue
-            lm, lm_ids = snapshot_points(smap, pts, P)
+            lm, lm_ids = smap.device_mirror().gather(pts, P)
             for chunk_start in range(0, len(fs), max_group):
                 chunk = fs[chunk_start:chunk_start + max_group]
                 feats = [pad_frame_features(f, N) for f in chunk]

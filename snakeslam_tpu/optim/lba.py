@@ -84,7 +84,14 @@ class LocalBA:
     def pack(self, window, boundary, pts):
         smap = self.map
         C = self.s.lba_cam_slots
+        # bucket the point-slot padding (powers of two up to the configured
+        # cap): the solve is jit-cached per bucket, and transfer + compute
+        # scale with the bucket size, not the worst case
         P = self.s.lba_point_slots
+        p_bucket = max(1024, self.s.lba_point_slots // 8)
+        while p_bucket < len(pts):
+            p_bucket *= 2
+        P = min(p_bucket, self.s.lba_point_slots)
         M = self.s.lba_obs_slots
         cams = window + boundary
 

@@ -8,14 +8,28 @@ jitted matchers never touch the live map.  All outputs have static shapes
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.map.slam_map import FrameData, SlamMap
-from snakeslam_tpu.ops.descriptors import unpack_bits_np
+from snakeslam_tpu.ops.descriptors import unpack_bits
 from snakeslam_tpu.ops.matching import FrameFeatures, LocalMapPoints
 
 F32 = np.float32
+
+
+@jax.jit
+def _stage_features(uv, right, octave, angle, desc_packed, valid):
+    """Device-side staging: descriptors travel packed (32 B) over the
+    H2D link — 8x less transfer — and expand to bit planes on device."""
+    return FrameFeatures(
+        uv=uv, right=right, octave=octave, angle=angle,
+        desc_bits=unpack_bits(desc_packed).astype(jnp.int8),
+        valid=valid,
+    )
 
 
 def pad_frame_features(frame: FrameData, n_slots: int) -> FrameFeatures:
@@ -24,20 +38,16 @@ def pad_frame_features(frame: FrameData, n_slots: int) -> FrameFeatures:
     right = np.full(n_slots, -1.0, dtype=F32)
     octave = np.zeros(n_slots, dtype=np.int32)
     angle = np.zeros(n_slots, dtype=F32)
-    bits = np.zeros((n_slots, 256), dtype=np.int8)
+    desc = np.zeros((n_slots, 32), dtype=np.uint8)
     uv[:n] = frame.uv[:n]
     right[:n] = frame.right[:n]
     octave[:n] = frame.octave[:n]
     angle[:n] = frame.angle[:n]
-    bits[:n] = unpack_bits_np(frame.descriptors[:n])
+    desc[:n] = frame.descriptors[:n]
     valid = np.arange(n_slots) < n
-    return FrameFeatures(
-        uv=jnp.asarray(uv),
-        right=jnp.asarray(right),
-        octave=jnp.asarray(octave),
-        angle=jnp.asarray(angle),
-        desc_bits=jnp.asarray(bits),
-        valid=jnp.asarray(valid),
+    return _stage_features(
+        jnp.asarray(uv), jnp.asarray(right), jnp.asarray(octave),
+        jnp.asarray(angle), jnp.asarray(desc), jnp.asarray(valid),
     )
 
 
@@ -56,23 +66,23 @@ def kf_features_cached(smap: SlamMap, kf: int, n_slots: int):
         return hit[1]
     n = int(smap.kf_n_feat[kf])
     n = min(n, n_slots)
-    bits = np.zeros((n_slots, 256), dtype=np.int8)
-    bits[:n] = unpack_bits_np(smap.kf_feat_desc[kf, :n])
-    ff = FrameFeatures(
-        uv=jnp.asarray(np.pad(
+    desc = np.zeros((n_slots, 32), dtype=np.uint8)
+    desc[:n] = smap.kf_feat_desc[kf, :n]
+    ff = _stage_features(
+        jnp.asarray(np.pad(
             smap.kf_feat_uv[kf, :n], ((0, n_slots - n), (0, 0))
         ).astype(F32)),
-        right=jnp.asarray(np.pad(
+        jnp.asarray(np.pad(
             smap.kf_feat_right[kf, :n], (0, n_slots - n), constant_values=-1
         ).astype(F32)),
-        octave=jnp.asarray(np.pad(
+        jnp.asarray(np.pad(
             smap.kf_feat_octave[kf, :n].astype(np.int32), (0, n_slots - n)
         )),
-        angle=jnp.asarray(np.pad(
+        jnp.asarray(np.pad(
             smap.kf_feat_angle[kf, :n], (0, n_slots - n)
         ).astype(F32)),
-        desc_bits=jnp.asarray(bits),
-        valid=jnp.asarray(np.arange(n_slots) < n),
+        jnp.asarray(desc),
+        jnp.asarray(np.arange(n_slots) < n),
     )
     cache[kf] = (n_slots, ff)
     return ff

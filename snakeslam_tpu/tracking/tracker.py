@@ -22,7 +22,7 @@ from snakeslam_tpu.core.pyramid import ScalePyramid
 from snakeslam_tpu.map.slam_map import FrameData, SlamMap, transform_pose_cw
 from snakeslam_tpu.models.tracking_step import coarse_step, fine_step
 from snakeslam_tpu.system.settings import InputType, Settings
-from snakeslam_tpu.tracking.staging import pad_frame_features, snapshot_points
+from snakeslam_tpu.tracking.staging import pad_frame_features
 
 
 class TrackingState(enum.Enum):
@@ -83,9 +83,7 @@ class Tracker:
         self._fine_cache_state = -1
         self._fine_cache = (None, None)
         # device-resident point table: per-frame snapshots are id gathers
-        from snakeslam_tpu.map.device_mirror import DeviceMapMirror
-
-        self.mirror = DeviceMapMirror(smap)
+        self.mirror = smap.device_mirror()
 
         if self.is_mono:
             from snakeslam_tpu.tracking.mono_init import MonoInitializer
