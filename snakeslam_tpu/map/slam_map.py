@@ -525,6 +525,7 @@ class SlamMap:
     def transform(self, s: float, R: np.ndarray, t: np.ndarray):
         """Apply a Sim3 to the whole map (reference: Map::Transform,
         Snake/Map/Map.cpp:66-87).  x' = s R x + t; poses T' = T S^-1."""
+        self.n_transforms = getattr(self, "n_transforms", 0) + 1
         ks = self.valid_keyframes()
         ps = self.valid_points()
         self.pt_pos[ps] = s * (self.pt_pos[ps] @ R.T) + t

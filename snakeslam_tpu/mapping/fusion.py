@@ -28,6 +28,20 @@ from snakeslam_tpu.tracking.staging import kf_features_cached
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
+def _fuse_search_single(lm, feats, pose, cam, bf, bounds, scales,
+                        log_sf, levels: int):
+    """Jitted single-target projection search (the backward fuse pass —
+    eager execution would dispatch each op over the device link)."""
+    st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+    out = M.search_by_projection_fine(
+        lm, feats, pose, cam, bf,
+        (bounds[0], bounds[1], bounds[2], bounds[3]), st,
+        feat_free=feats.valid, th=1.0, ratio=0.9,
+    )
+    return out["feat_point"]
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
 def _fuse_search_batch(lm, feats_stack, poses, cam, bf, bounds, scales,
                        log_sf, levels: int):
     """vmapped projection search: one device call for all target keyframes."""
@@ -70,15 +84,13 @@ class MapSearcher:
             )
         lm, ids = staged
         feats = kf_features_cached(smap, kf, self.s.feature_slots)
-        st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
-                           levels=int(self.scales.shape[0]))
-        out = M.search_by_projection_fine(
+        fp = _fuse_search_single(
             lm, feats, jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
-            self.cam, self.bf, self.bounds, st,
-            feat_free=feats.valid,  # fuse considers ALL features
-            th=1.0, ratio=0.9,
+            self.cam, self.bf,
+            jnp.asarray(self.bounds, dtype=jnp.float32),
+            self.scales, self.log_sf, int(self.scales.shape[0]),
         )
-        return self._commit_fuse(np.asarray(out["feat_point"]), ids, kf)
+        return self._commit_fuse(np.asarray(fp), ids, kf)
 
     def _commit_fuse(self, feat_point: np.ndarray, ids: np.ndarray,
                      kf: int) -> int:
@@ -126,8 +138,6 @@ class MapSearcher:
             return 0
         fused = 0
         mirror = smap.device_mirror()
-        st = M.ScaleTables(scales=self.scales, log_scale_factor=self.log_sf,
-                           levels=int(self.scales.shape[0]))
         kf_pts = smap.keyframe_points(kf)
         # forward: this KF's points into ALL neighbors in ONE vmapped call,
         # padded to the fixed n_neighbors so exactly one program compiles
@@ -153,13 +163,13 @@ class MapSearcher:
         if len(nb_pts):
             lm_b, ids_b = mirror.gather(nb_pts, self.s.local_map_slots)
             feats_kf = kf_features_cached(smap, kf, self.s.feature_slots)
-            out = M.search_by_projection_fine(
+            fp_bwd = _fuse_search_single(
                 lm_b, feats_kf,
                 jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
-                self.cam, self.bf, self.bounds, st,
-                feat_free=feats_kf.valid, th=1.0, ratio=0.9,
+                self.cam, self.bf,
+                jnp.asarray(self.bounds, dtype=jnp.float32),
+                self.scales, self.log_sf, int(self.scales.shape[0]),
             )
-            fp_bwd = out["feat_point"]
         # single blocking boundary, then host-side commits
         if fp_fwd is not None:
             fp_all = np.asarray(fp_fwd)

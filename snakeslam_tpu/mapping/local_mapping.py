@@ -29,6 +29,27 @@ from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("feature_distance", "epipolar_distance", "error_mono"),
+)
+def _triangulate_batch(feats_a, feats_b, free_a, free_b, T_a, T_b, cam, bf,
+                       scales, inv_sigma2, feature_distance: int,
+                       epipolar_distance: float, error_mono: float):
+    """Jitted vmapped pair triangulation: one compiled program for all
+    neighbor pairs (an eager jax.vmap would re-trace per keyframe)."""
+    fn = functools.partial(
+        triangulate_pair,
+        feature_distance=feature_distance,
+        epipolar_distance=epipolar_distance,
+        error_mono=error_mono,
+    )
+    return jax.vmap(
+        fn, in_axes=(None, 0, None, 0, None, 0, None, None, None, None)
+    )(feats_a, feats_b, free_a, free_b, T_a, T_b, cam, bf, scales,
+      inv_sigma2)
+
+
 class LocalMapper:
     def __init__(self, settings: Settings, smap: SlamMap, lba=None,
                  backends=None, imu_solver=None):
@@ -49,6 +70,7 @@ class LocalMapper:
         self.scales = jnp.asarray(self.pyramid.scales)
         self.inv_sigma2 = jnp.asarray(self.pyramid.inv_sigma2)
         self._last_kf_frame_id = -10
+        self._deferred: list[tuple[int, FrameData]] = []
 
     def on_map_initialized(self, kf: int):
         self._last_kf_frame_id = self.map.kf_frame_id[kf]
@@ -57,7 +79,15 @@ class LocalMapper:
     # keyframe insertion gates (KeyframeInserter.cpp:27-66)
     # ------------------------------------------------------------------
 
-    def insert_keyframe(self, frame: FrameData, prev_kf: int) -> int:
+    def insert_keyframe(self, frame: FrameData, prev_kf: int,
+                        defer: bool = False) -> int:
+        """defer=True runs only the cheap synchronous part (allocation,
+        observation association, stereo points, IMU edge binding) and
+        queues the heavy back-ends (triangulation, fusion, LBA, loop
+        detection) for flush_deferred() — the windowed runner calls that
+        after dispatching the next window so back-end work overlaps the
+        device scan (the reference's async LocalMapping thread,
+        LocalMapping.cpp:25-35, expressed as deterministic deferral)."""
         if frame.frame_id - self._last_kf_frame_id < 1:
             return -1
         n_inl = int((frame.matches >= 0).sum())
@@ -70,28 +100,49 @@ class LocalMapper:
         frame.is_keyframe = True
         frame.ref_kf = kf
         self._last_kf_frame_id = frame.frame_id
-        self.process(kf, frame)
+        self.process_sync(kf, frame)
+        if defer:
+            self._deferred.append((kf, frame))
+        else:
+            self.process_deferred(kf, frame)
         return kf
+
+    def flush_deferred(self) -> int:
+        """Run queued back-end work (see insert_keyframe(defer=True))."""
+        n = 0
+        while self._deferred:
+            kf, frame = self._deferred.pop(0)
+            if self.map.kf_valid[kf]:
+                self.process_deferred(kf, frame)
+            n += 1
+        return n
 
     # ------------------------------------------------------------------
     # the fan-out hub (LocalMapping.cpp:37-117)
     # ------------------------------------------------------------------
 
     def process(self, kf: int, frame: FrameData):
+        self.process_sync(kf, frame)
+        self.process_deferred(kf, frame)
+
+    def process_sync(self, kf: int, frame: FrameData):
         self._associate_observations(kf, frame)
         if self.s.input_type != InputType.Mono:
             self._insert_stereo_points(kf, frame)
         self.map.update_spanning_tree_parent(kf)
         self.map.compute_median_depth(kf)
+        # IMU edge binding consumes the pending sample window and must run
+        # at insertion order (before later frames feed more samples)
+        if self.imu_solver is not None:
+            self.imu_solver.process_new_keyframe(kf, int(self.map.kf_prev[kf]))
+
+    def process_deferred(self, kf: int, frame: FrameData):
         self._cull_recent_points(kf)
         self._triangulate_new_points(kf)
         # bidirectional neighbor fusion (MapSearcher, LocalMapping.cpp:70-80)
         if self.map_searcher is not None:
             self.map_searcher.process(kf)
         self.map.update_points_bulk(self.map.keyframe_points(kf))
-        # IMU preintegration hook runs BEFORE LBA (LocalMapping.cpp:86-90)
-        if self.imu_solver is not None:
-            self.imu_solver.process_new_keyframe(kf, int(self.map.kf_prev[kf]))
         if self.lba is not None:
             self.lba.add(kf)
         if self.imu_solver is not None:
@@ -230,17 +281,12 @@ class LocalMapper:
             free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
         T_b = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
 
-        fn = functools.partial(
-            triangulate_pair,
+        out = _triangulate_batch(
+            feats_a, feats_b, jnp.asarray(free_a), jnp.asarray(free_b),
+            T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
-        )
-        out = jax.vmap(
-            fn, in_axes=(None, 0, None, 0, None, 0, None, None, None, None)
-        )(
-            feats_a, feats_b, jnp.asarray(free_a), jnp.asarray(free_b),
-            T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
         )
         valid_all = np.asarray(out["valid"])
         match_all = np.asarray(out["match_b"])

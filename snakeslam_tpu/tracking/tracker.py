@@ -292,10 +292,14 @@ class Tracker:
         )
         return lm, used
 
-    def _fine_local_map(self, matched_ids: np.ndarray):
+    def _fine_local_map(self, matched_ids: np.ndarray, n_slots=None):
         """Local keyframes = observers of currently matched points, ranked by
         count, then their points (reference: UpdateLocalKeyFrames2 +
-        UpdateLocalPoints, TrackingFine.cpp:221-356)."""
+        UpdateLocalPoints, TrackingFine.cpp:221-356).
+
+        n_slots: snapshot padding; None uses the configured maximum.
+        Callers that jit over the snapshot shape (the windowed runner) pass
+        a power-of-two bucket so compute scales with the live local map."""
         if len(matched_ids) == 0:
             return None, None
         obs_kfs = self.map.pt_obs_kf[matched_ids].ravel()
@@ -318,9 +322,11 @@ class Tracker:
             return None, None
         ids = np.unique(np.concatenate(pts))
         ids = ids[self.map.pt_valid[ids]]
-        if len(ids) > self.s.local_map_slots:
-            ids = ids[: self.s.local_map_slots]
-        lm, used = self.mirror.gather(ids, self.s.local_map_slots)
+        if n_slots is None:
+            n_slots = self.s.local_map_slots
+        if len(ids) > n_slots:
+            ids = ids[:n_slots]
+        lm, used = self.mirror.gather(ids, n_slots)
         return lm, used
 
     def _track_brute_force(self, frame: FrameData, min_inliers: int = 15):

@@ -98,7 +98,15 @@ class WindowedRunner:
                    else np.array([], dtype=np.int64))
         if t.map.state == t._fine_cache_state and t._fine_cache[0] is not None:
             return t._fine_cache
-        lm, ids = t._fine_local_map(np.unique(matched))
+        # bucket the snapshot padding (powers of two): the scan's compute
+        # scales with the snapshot size, and each bucket compiles once
+        uniq = np.unique(matched)
+        n_live = int(self.tracker.map.pt_valid.sum())
+        bucket = max(1024, self.system.s.local_map_slots // 8)
+        while bucket < min(n_live + 256, self.system.s.local_map_slots):
+            bucket *= 2
+        bucket = min(bucket, self.system.s.local_map_slots)
+        lm, ids = t._fine_local_map(uniq, n_slots=bucket)
         if lm is not None:
             t._fine_cache = (lm, ids)
             t._fine_cache_state = t.map.state
@@ -116,11 +124,13 @@ class WindowedRunner:
         while i < n:
             if t.state != TrackingState.OK or t.last_frame is None \
                     or t.last_frame.pose_cw is None:
+                t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
                 continue
             lm, lm_ids = self._local_map()
             if lm is None:
+                t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
                 continue
@@ -134,7 +144,7 @@ class WindowedRunner:
                 batch = batch + [batch[-1]]
             buf = pack_frames_np(batch, Ns)
 
-            packed = np.asarray(window_track(
+            fut = window_track(
                 lm, jnp.asarray(buf),
                 jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
                 jnp.asarray(t.velocity, dtype=jnp.float32),
@@ -142,11 +152,23 @@ class WindowedRunner:
                 t.coarse_radius, t.fine_th,
                 **self._decision_scalars(),
                 n_slots=Ns, two_stage=self.two_stage, use_imu=use_imu,
-            ))
+            )
             self.n_device_calls += 1
+            # overlap deferred keyframe back-ends (triangulation, fusion,
+            # LBA, loop detection) with the in-flight window scan
+            transforms_before = getattr(t.map, "n_transforms", 0)
+            t.local_mapper.flush_deferred()
+            packed = np.asarray(fut)
+            if getattr(t.map, "n_transforms", 0) != transforms_before:
+                # a loop correction re-based the map while the window was in
+                # flight: its poses live in the old frame — discard and
+                # re-track from the per-frame path
+                self.system.process_frame(frames[i])
+                i += 1
+                continue
 
             stride = 20 + Ns
-            P = s.local_map_slots
+            P = (len(packed) - W * stride) // 2  # snapshot bucket size
             outs = packed[: W * stride].reshape(W, stride)
             vis_sum = packed[W * stride: W * stride + P]
             fnd_sum = packed[W * stride + P: W * stride + 2 * P]
@@ -184,7 +206,8 @@ class WindowedRunner:
                 consumed += 1
                 need_kf = row[18] > 0.5
                 if need_kf:
-                    kf = t.local_mapper.insert_keyframe(frame, t.last_kf)
+                    kf = t.local_mapper.insert_keyframe(frame, t.last_kf,
+                                                        defer=True)
                     if kf >= 0:
                         t.last_kf = kf
                     break
@@ -197,10 +220,13 @@ class WindowedRunner:
 
             if consumed == 0:
                 # first frame of the window failed: full per-frame path
-                # (brute-force fallback / loss handling)
+                # (brute-force fallback / loss handling); run any deferred
+                # keyframe work first so the map is fully current
+                t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
             else:
                 self.system.n_frames += consumed
                 i += consumed
+        t.local_mapper.flush_deferred()
         return n
