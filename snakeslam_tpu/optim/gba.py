@@ -35,6 +35,41 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+import functools
+
+import jax
+
+
+@jax.jit
+def _realign_batch(Ts, obs, cam, bf):
+    """Jitted vmapped pose-only refinement (eager vmap would re-trace
+    per invocation and dispatch op-by-op over the device link)."""
+    from snakeslam_tpu.ops.pose_solver import robust_pose_refine
+
+    return jax.vmap(
+        lambda T, o: robust_pose_refine(T, o, cam, bf)
+    )(Ts, obs)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _rematch_batch(lm, feats_stack, poses, cam, bf, bounds, scales, log_sf,
+                   levels: int):
+    """Jitted vmapped projection re-match for intermediate frames."""
+    from snakeslam_tpu.ops import matching as M
+
+    st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+
+    def one(feats, pose):
+        out = M.search_by_projection_fine(
+            lm, feats, pose, cam, bf,
+            (bounds[0], bounds[1], bounds[2], bounds[3]), st,
+            feat_free=feats.valid, th=2.0, ratio=0.9,
+        )
+        return out["feat_point"]
+
+    return jax.vmap(one)(feats_stack, poses)
+
+
 class GlobalBA:
     def __init__(self, settings: Settings, smap: SlamMap):
         self.s = settings
@@ -167,9 +202,7 @@ class GlobalBA:
             mask=jnp.asarray(np.stack([o[4] for o in batch_obs])),
         )
         Ts = jnp.asarray(np.stack(batch_T))
-        refined, inl, n_inl = jax.vmap(
-            lambda T, o: robust_pose_refine(T, o, self.cam, self.bf)
-        )(Ts, obs)
+        refined, inl, n_inl = _realign_batch(Ts, obs, self.cam, self.bf)
         refined = np.asarray(refined, dtype=np.float64)
         n_inl = np.asarray(n_inl)
         for i, f in enumerate(out_frames):
@@ -199,14 +232,11 @@ class GlobalBA:
         bounds = (0.0, 0.0, float(self.s.width), float(self.s.height))
 
         def search_batch(lm, feats_stack, poses):
-            def one(feats, pose):
-                out = M.search_by_projection_fine(
-                    lm, feats, pose, self.cam, self.bf, bounds, st,
-                    feat_free=feats.valid, th=2.0, ratio=0.9,
-                )
-                return out["feat_point"]
-
-            return jax.vmap(one)(feats_stack, poses)
+            return _rematch_batch(
+                lm, feats_stack, poses, self.cam, self.bf,
+                jnp.asarray(bounds, dtype=jnp.float32),
+                st.scales, st.log_scale_factor, int(st.levels),
+            )
 
         # group by reference keyframe
         groups: dict[int, list] = {}

@@ -60,3 +60,42 @@ def test_map_invariants_hold_during_run():
     system.finalize(gba_iterations=2)
     errors = system.map.validate()
     assert errors == [], f"post-finalize violations: {errors[:10]}"
+
+
+def _run_windowed(seed=61, n_frames=48):
+    from snakeslam_tpu.tracking.windowed import WindowedRunner
+
+    world = SyntheticWorld(n_points=3000, seed=seed)
+    settings = Settings()
+    settings.input_type = InputType.RGBD
+    settings.enable_imu = False
+    settings.random_seed = 3
+    settings.feature_slots = 1024
+    settings.local_map_slots = 2048
+    settings.lba_cam_slots = 24
+    settings.lba_point_slots = 4096
+    settings.lba_obs_slots = 8
+    settings.th_depth = 25.0
+    apply_world_to_settings(world, settings)
+    system = SlamSystem(settings)
+    frames = list(synthetic_frames(
+        world, orbit_trajectory(n_frames, radius=7.0, arc=0.5),
+        settings, noise_px=0.3,
+    ))
+    WindowedRunner(system, window=8, two_stage=True).run(frames)
+    return system
+
+
+@pytest.mark.slow
+def test_windowed_deferred_mode_reproduces_bitwise():
+    """The windowed runner's deferred keyframe back-ends flush at a fixed
+    point in the loop, so the mode stays bit-reproducible."""
+    a = _run_windowed()
+    b = _run_windowed()
+    ta = np.stack([f.pose_cw for f in a.tracker.trajectory])
+    tb = np.stack([f.pose_cw for f in b.tracker.trajectory])
+    assert len(ta) == len(tb)
+    assert np.array_equal(ta, tb), "windowed trajectories must be bitwise equal"
+    assert np.array_equal(a.map.pt_pos[a.map.pt_valid],
+                          b.map.pt_pos[b.map.pt_valid])
+    a.map.validate()
