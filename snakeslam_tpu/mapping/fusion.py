@@ -136,6 +136,10 @@ class MapSearcher:
         neighbors = [int(k) for k in ids[:n_neighbors]]
         if not neighbors:
             return 0
+        # bucket the vmap width so compute follows the actual neighbor count
+        n_neighbors = 1
+        while n_neighbors < len(neighbors):
+            n_neighbors *= 2
         fused = 0
         mirror = smap.device_mirror()
         kf_pts = smap.keyframe_points(kf)

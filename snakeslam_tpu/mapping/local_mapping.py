@@ -259,6 +259,11 @@ class LocalMapper:
         neighbors = ids[:num_neighbors]
         if len(neighbors) == 0:
             return 0
+        # bucket the vmap width (1/2/4/8/...): compute scales with the
+        # actual covisible-neighbor count, one compiled program per bucket
+        num_neighbors = 1
+        while num_neighbors < len(neighbors):
+            num_neighbors *= 2
         n_slots = self.s.feature_slots
         feats_a = kf_features_cached(smap, kf, n_slots)
         free_a = np.zeros(n_slots, dtype=bool)
