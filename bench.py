@@ -105,7 +105,22 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
 
 
 def main():
-    res = run_bench()
+    # the remote-TPU tunnel can fail transiently (FAILED_PRECONDITION on a
+    # blocking fetch); the windowed runner already retries per window, and
+    # this outer retry covers failures during compilation/warmup.  Last
+    # resort: a smaller window (fewer in-flight device seconds per fetch).
+    attempts = [dict(), dict(), dict(window=16)]
+    res = None
+    for k, kw in enumerate(attempts):
+        try:
+            res = run_bench(**kw)
+            break
+        except Exception:
+            if k == len(attempts) - 1:
+                raise
+            import traceback
+
+            traceback.print_exc()
     out = {
         "metric": "synthetic EuRoC-like tracked FPS (windowed, 1024 feat, stereo, full back-ends)",
         "value": round(res["fps"], 2),

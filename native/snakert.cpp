@@ -61,24 +61,46 @@ static inline int ring_next(const Ring* r, int i) {
     return (i + 1) % r->capacity;
 }
 
-// returns 1 on success, 0 when full
-int ring_try_push(Ring* r, uint64_t value) {
+// unlocked core ops — called either standalone (followed by a fenced
+// notify, see the public try_ wrappers) or while already holding r->m
+// inside the blocking loops
+static inline int ring_push_core(Ring* r, uint64_t value) {
     int tail = r->tail.load(std::memory_order_relaxed);
     int next = ring_next(r, tail);
     if (next == r->head.load(std::memory_order_acquire)) return 0;
     r->slots[tail] = value;
     r->tail.store(next, std::memory_order_release);
-    r->cv_pop.notify_one();
+    return 1;
+}
+
+static inline int ring_pop_core(Ring* r, uint64_t* out) {
+    int head = r->head.load(std::memory_order_relaxed);
+    if (head == r->tail.load(std::memory_order_acquire)) return 0;
+    *out = r->slots[head];
+    r->head.store(ring_next(r, head), std::memory_order_release);
+    return 1;
+}
+
+// Lock-then-unlock before notify: a blocked waiter checks its predicate
+// while holding r->m, so acquiring the mutex here (after the state change)
+// serializes against that re-check — without it, a state change landing
+// between the waiter's predicate check and its wait() is a lost wakeup.
+static inline void ring_signal(Ring* r, std::condition_variable& cv) {
+    { std::lock_guard<std::mutex> lk(r->m); }
+    cv.notify_one();
+}
+
+// returns 1 on success, 0 when full
+int ring_try_push(Ring* r, uint64_t value) {
+    if (!ring_push_core(r, value)) return 0;
+    ring_signal(r, r->cv_pop);
     return 1;
 }
 
 // returns 1 on success, 0 when empty
 int ring_try_pop(Ring* r, uint64_t* out) {
-    int head = r->head.load(std::memory_order_relaxed);
-    if (head == r->tail.load(std::memory_order_acquire)) return 0;
-    *out = r->slots[head];
-    r->head.store(ring_next(r, head), std::memory_order_release);
-    r->cv_push.notify_one();
+    if (!ring_pop_core(r, out)) return 0;
+    ring_signal(r, r->cv_push);
     return 1;
 }
 
@@ -90,9 +112,17 @@ int ring_push(Ring* r, uint64_t value, int timeout_ms) {
         + std::chrono::milliseconds(timeout_ms);
     while (true) {
         if (r->closed.load()) return -1;
-        if (ring_try_push(r, value)) return 1;
-        if (r->cv_push.wait_until(lk, deadline) == std::cv_status::timeout)
-            return ring_try_push(r, value) ? 1 : 0;
+        if (ring_push_core(r, value)) {
+            lk.unlock();
+            r->cv_pop.notify_one();
+            return 1;
+        }
+        if (r->cv_push.wait_until(lk, deadline) == std::cv_status::timeout) {
+            if (!ring_push_core(r, value)) return 0;
+            lk.unlock();
+            r->cv_pop.notify_one();
+            return 1;
+        }
     }
 }
 
@@ -103,10 +133,18 @@ int ring_pop(Ring* r, uint64_t* out, int timeout_ms) {
     auto deadline = std::chrono::steady_clock::now()
         + std::chrono::milliseconds(timeout_ms);
     while (true) {
-        if (ring_try_pop(r, out)) return 1;
+        if (ring_pop_core(r, out)) {
+            lk.unlock();
+            r->cv_push.notify_one();
+            return 1;
+        }
         if (r->closed.load()) return -1;
-        if (r->cv_pop.wait_until(lk, deadline) == std::cv_status::timeout)
-            return ring_try_pop(r, out) ? 1 : 0;
+        if (r->cv_pop.wait_until(lk, deadline) == std::cv_status::timeout) {
+            if (!ring_pop_core(r, out)) return 0;
+            lk.unlock();
+            r->cv_push.notify_one();
+            return 1;
+        }
     }
 }
 

@@ -124,6 +124,8 @@ def window_track(
     median_depth: jax.Array,      # () last KF median depth
     is_stereo: jax.Array,         # () bool
     th_depth: jax.Array,          # () close-point threshold
+    frames_since_kf0: jax.Array,  # () frames between last KF and frame 0
+    n_valid_frames: jax.Array,    # () unpadded window length
     n_slots: int = 1024,
     two_stage: bool = True,
     use_imu: bool = False,
@@ -194,7 +196,7 @@ def window_track(
         ].add(1.0, mode="drop")[:P]
         return T2, assign, n2, visible.astype(jnp.float32), found
 
-    def kf_decision(T, n_inl, ts, frame, assign):
+    def kf_decision(T, n_inl, ts, frame, assign, frames_since_kf):
         """KeyframeDecision.cpp rules evaluated on device."""
         current = n_inl
         # stereo close-point rule
@@ -231,13 +233,18 @@ def window_track(
         good = (target_ratio >= 0.8) | (kf_ratio > 2.0)
         geometry = (trans_angle > 1.0) | (rot_angle > 15.0)
         geometry_bad = bad & ((trans_angle > 1.0) | (rot_angle > 10.0))
+        # slow-translation rule (KeyframeDecision.cpp:152): many frames
+        # since the last KF with nontrivial translation angle
+        frames_rule = (frames_since_kf > 30) & (trans_angle > 0.5)
 
         need = time_rule | need_stereo
         need = need | (~super_bad & ~very_good
-                       & (jnp.where(good, False, geometry) | geometry_bad))
+                       & (frames_rule
+                          | jnp.where(good, False, geometry) | geometry_bad))
         return need
 
-    def scan_body(carry, frame_buf):
+    def scan_body(carry, xs):
+        frame_buf, w_idx = xs
         T_last_c, vel, stopped = carry
         frame, ts, dR_imu = _unpack_frame(frame_buf, n_slots)
         T_pred = vel @ T_last_c
@@ -249,8 +256,10 @@ def window_track(
             )
         T, assign, n_inl, visible, found = track_one(T_pred, frame)
         ok = n_inl >= 25
-        need_kf = kf_decision(T, n_inl, ts, frame, assign)
-        active = (~stopped) & ok
+        need_kf = kf_decision(T, n_inl, ts, frame, assign,
+                              frames_since_kf0 + w_idx + 1)
+        padded = w_idx >= n_valid_frames  # duplicated tail padding
+        active = (~stopped) & ok & (~padded)
         # motion model update only while actively tracking; orthonormalized
         # so f32 composition defects cannot compound across the window
         new_vel = jnp.where(
@@ -273,8 +282,9 @@ def window_track(
         return (new_T, new_vel, stop_after), (out, vis, fnd)
 
     init = (T_last, velocity, jnp.zeros((), dtype=bool))
+    W = frames_buf.shape[0]
     (T_out, vel_out, _), (outs, vis, fnd) = jax.lax.scan(
-        scan_body, init, frames_buf
+        scan_body, init, (frames_buf, jnp.arange(W, dtype=jnp.int32))
     )
     packed = jnp.concatenate([
         outs.reshape(-1),

@@ -137,6 +137,25 @@ def sharded_ba_step(mesh: Mesh, cam: Pinhole, bf, n_iters: int = 1,
             S = jax.lax.psum(S, "dp")
             g_hat = jax.lax.psum(g_hat, "dp")
 
+            # IMU relative-pose (rpc) factors: camera-only terms over the
+            # replicated rpc arrays, added once AFTER the psum so a sharded
+            # visual-inertial problem keeps its IMU constraints (parity with
+            # the single-chip solve_ba)
+            rr, Ji, Jj = BA._rpc_residuals(problem, cam_pose)
+            wr = jnp.where(problem.rpc_valid[:, None], problem.rpc_weight,
+                           0.0)
+            ri = jnp.clip(problem.rpc_i, 0, C - 1)
+            rj = jnp.clip(problem.rpc_j, 0, C - 1)
+            Hii = jnp.einsum("rki,rk,rkj->rij", Ji, wr, Ji)
+            Hjj = jnp.einsum("rki,rk,rkj->rij", Jj, wr, Jj)
+            Hij = jnp.einsum("rki,rk,rkj->rij", Ji, wr, Jj)
+            S = S.at[ri, ri].add(Hii)
+            S = S.at[rj, rj].add(Hjj)
+            S = S.at[ri, rj].add(Hij)
+            S = S.at[rj, ri].add(jnp.swapaxes(Hij, -1, -2))
+            g_hat = g_hat.at[ri].add(jnp.einsum("rki,rk,rk->ri", Ji, wr, rr))
+            g_hat = g_hat.at[rj].add(jnp.einsum("rki,rk,rk->ri", Jj, wr, rr))
+
             diagS = jnp.diagonal(
                 S[jnp.arange(C), jnp.arange(C)], axis1=1, axis2=2
             )

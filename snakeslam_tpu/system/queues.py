@@ -62,6 +62,11 @@ class DelayedQueue:
                                  self._seq.get(latest_item, self._next_seq - 1))
         if not self.parallel:
             self._drain_ready()
+        else:
+            # wake the worker: items queued earlier may only now satisfy
+            # the delay horizon (the add() permit was consumed before the
+            # head became ready)
+            self._work.release()
 
     def _ready(self):
         with self._lock:
@@ -90,8 +95,11 @@ class DelayedQueue:
             if self._pause_requested:
                 self._paused.set()
                 continue
-            item = self._ready()
-            if item is not None:
+            # drain everything ready: one wake-up may cover several items
+            while not self._pause_requested:
+                item = self._ready()
+                if item is None:
+                    break
                 self.process(item)
 
     def pause(self):
@@ -124,3 +132,6 @@ class DelayedQueue:
         if self._thread is not None:
             self._work.release()
             self._thread.join(timeout=5.0)
+        # drain any still-ready items inline so the final keyframes' work
+        # is never lost (the worker may have stopped between add and wake)
+        self._drain_ready()

@@ -9,8 +9,9 @@ playback_fps=200 setting, README.md:53-60).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from snakeslam_tpu.map.slam_map import FrameData
 from snakeslam_tpu.models.window_step import pack_frames_np, window_track
@@ -144,21 +145,40 @@ class WindowedRunner:
                 batch = batch + [batch[-1]]
             buf = pack_frames_np(batch, Ns)
 
-            fut = window_track(
-                lm, jnp.asarray(buf),
-                jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
-                jnp.asarray(t.velocity, dtype=jnp.float32),
-                t.cam, t.bf, t.bounds, t.scales, t.log_sf,
-                t.coarse_radius, t.fine_th,
-                **self._decision_scalars(),
-                n_slots=Ns, two_stage=self.two_stage, use_imu=use_imu,
-            )
-            self.n_device_calls += 1
+            def dispatch():
+                self.n_device_calls += 1
+                return window_track(
+                    lm, jnp.asarray(buf),
+                    jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
+                    jnp.asarray(t.velocity, dtype=jnp.float32),
+                    t.cam, t.bf, t.bounds, t.scales, t.log_sf,
+                    t.coarse_radius, t.fine_th,
+                    **self._decision_scalars(),
+                    frames_since_kf0=jnp.int32(
+                        int(batch[0].frame_id)
+                        - int(t.map.kf_frame_id[t.last_kf])
+                    ),
+                    n_valid_frames=jnp.int32(actual),
+                    n_slots=Ns, two_stage=self.two_stage, use_imu=use_imu,
+                )
+
+            fut = dispatch()
             # overlap deferred keyframe back-ends (triangulation, fusion,
             # LBA, loop detection) with the in-flight window scan
             transforms_before = getattr(t.map, "n_transforms", 0)
             t.local_mapper.flush_deferred()
-            packed = np.asarray(fut)
+            try:
+                packed = np.asarray(fut)
+            except jax.errors.JaxRuntimeError:
+                # transient device/tunnel failure (e.g. FAILED_PRECONDITION
+                # through the remote-TPU link): retry the window once, then
+                # fall back to the per-frame path for this frame
+                try:
+                    packed = np.asarray(dispatch())
+                except jax.errors.JaxRuntimeError:
+                    self.system.process_frame(frames[i])
+                    i += 1
+                    continue
             if getattr(t.map, "n_transforms", 0) != transforms_before:
                 # a loop correction re-based the map while the window was in
                 # flight: its poses live in the old frame — discard and
@@ -212,11 +232,14 @@ class WindowedRunner:
                         t.last_kf = kf
                     break
 
-            # found/visible statistics for the window
-            vis_ids = lm_ids[np.nonzero(vis_sum[: len(lm_ids)] > 0)[0]]
-            t.map.pt_visible[vis_ids] += 1
-            fnd_idx = np.nonzero(fnd_sum[: len(lm_ids)] > 0)[0]
-            t.map.pt_found[lm_ids[fnd_idx]] += 1
+            # found/visible statistics: per-frame integer counts, matching
+            # the reference's per-frame IncreaseVisible/IncreaseFound so the
+            # found_ratio < 0.25 cull rule keeps its meaning across windows
+            nlm = len(lm_ids)
+            np.add.at(t.map.pt_visible, lm_ids,
+                      np.rint(vis_sum[:nlm]).astype(t.map.pt_visible.dtype))
+            np.add.at(t.map.pt_found, lm_ids,
+                      np.rint(fnd_sum[:nlm]).astype(t.map.pt_found.dtype))
 
             if consumed == 0:
                 # first frame of the window failed: full per-frame path
