@@ -45,10 +45,17 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
         window = int(os.environ.get("BENCH_WINDOW", 64))
     two_stage = os.environ.get("BENCH_TWO_STAGE", "1") == "1"
 
+    async_mode = os.environ.get("BENCH_ASYNC", "1") == "1"
+
     def build(seed, count):
         settings = Settings()
         settings.input_type = InputType.Stereo
         settings.enable_imu = False
+        # async back-ends (the reference's deployment mode, README.md:61-65):
+        # keyframe mapping work runs on a worker thread, overlapping the
+        # window pipeline.  BENCH_ASYNC=0 restores the bit-deterministic
+        # inline mode.
+        settings.async_mode = async_mode
         settings.feature_slots = 1024
         settings.local_map_slots = 4096
         settings.lba_cam_slots = 32

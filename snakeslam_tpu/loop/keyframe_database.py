@@ -33,7 +33,9 @@ class KeyframeDatabase:
         words, v = BOW.transform(
             self.voc, jnp.asarray(desc_bits), jnp.ones(n, dtype=bool)
         )
-        return np.asarray(words), np.asarray(v)
+        from snakeslam_tpu.utils.fetch import fetch_np
+
+        return fetch_np(words, v)
 
     def add(self, kf: int):
         n = int(self.map.kf_n_feat[kf])
@@ -63,9 +65,10 @@ class KeyframeDatabase:
         ids = np.nonzero(active)[0]
         if len(ids) == 0:
             return np.array([], dtype=int), np.array([])
-        scores = np.asarray(BOW.score_l1(
-            jnp.asarray(v), jnp.asarray(self.vectors[ids])
-        ))
+        # host-side L1 score (DBoW2: 1 - 0.5*|v1-v2|_1): the vectors live
+        # in host memory and the dot is tiny — a device call would cost a
+        # full tunnel round trip
+        scores = 1.0 - 0.5 * np.abs(v[None] - self.vectors[ids]).sum(axis=-1)
         keep = scores >= min_score
         ids, scores = ids[keep], scores[keep]
         order = np.argsort(-scores)[:top_n]

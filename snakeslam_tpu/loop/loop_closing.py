@@ -86,9 +86,11 @@ class LoopClosing:
         cov_present = [c for c in cov if self.db.present[c]]
         if not cov_present:
             return None
-        cov_scores = np.asarray(BOW.score_l1(
-            jnp.asarray(v_kf), jnp.asarray(self.db.vectors[cov_present])
-        ))
+        # host-side L1 score (vectors are host-resident; see
+        # keyframe_database.query)
+        cov_scores = 1.0 - 0.5 * np.abs(
+            v_kf[None] - self.db.vectors[cov_present]
+        ).sum(axis=-1)
         min_score = max(float(cov_scores.min()) * 0.8, 0.01)
 
         cov_all, _ = smap.covisible_keyframes(kf, min_weight=1)

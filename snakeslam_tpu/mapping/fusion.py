@@ -174,12 +174,21 @@ class MapSearcher:
                 jnp.asarray(self.bounds, dtype=jnp.float32),
                 self.scales, self.log_sf, int(self.scales.shape[0]),
             )
-        # single blocking boundary, then host-side commits
-        if fp_fwd is not None:
-            fp_all = np.asarray(fp_fwd)
+        # single blocking boundary (one batched round trip for both
+        # directions), then host-side commits
+        from snakeslam_tpu.utils.fetch import fetch_np
+
+        fetched = fetch_np(*[x for x in (fp_fwd, fp_bwd) if x is not None])
+        if fp_fwd is not None and fp_bwd is not None:
+            fp_all, fp_b = fetched
+        elif fp_fwd is not None:
+            fp_all, fp_b = fetched, None
+        else:
+            fp_all, fp_b = None, fetched
+        if fp_all is not None:
             for bi, nb in enumerate(neighbors):
                 fused += self._commit_fuse(fp_all[bi], ids_f, nb)
-        if fp_bwd is not None:
-            fused += self._commit_fuse(np.asarray(fp_bwd), ids_b, kf)
+        if fp_b is not None:
+            fused += self._commit_fuse(fp_b, ids_b, kf)
         smap.state += 1
         return fused

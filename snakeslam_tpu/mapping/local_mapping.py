@@ -27,6 +27,7 @@ import jax
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
+from snakeslam_tpu.utils.fetch import fetch_np
 
 
 @functools.partial(
@@ -293,9 +294,10 @@ class LocalMapper:
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
         )
-        valid_all = np.asarray(out["valid"])
-        match_all = np.asarray(out["match_b"])
-        pts_all = np.asarray(out["point"], dtype=np.float64)
+        valid_all, match_all, pts_all = fetch_np(
+            out["valid"], out["match_b"], out["point"]
+        )
+        pts_all = pts_all.astype(np.float64)
 
         # vectorized commit: collect accepted candidates per neighbor
         # (earlier neighbors claim features first, Triangulator.cpp:52-109),

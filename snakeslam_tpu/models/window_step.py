@@ -1,23 +1,33 @@
 """Windowed tracking megastep: a device-side scan over a batch of frames.
 
-The deterministic-evaluation throughput path.  A remote TPU pays a fixed
-round-trip latency per host<->device interaction, so per-frame dispatch
-caps throughput regardless of kernel speed.  This step ingests W frames in
-ONE upload, tracks them sequentially in ONE compiled ``lax.scan`` (predict
--> coarse match -> robust GN -> fine match -> robust GN -> keyframe
-decision), and returns ONE packed result.  The scan stops tracking (carries
-through unchanged state) at the first frame that needs a keyframe or fails,
-and the host resumes from there after running the mapping back-ends — so
-map mutation stays host-authoritative while steady-state tracking runs
-entirely on device.
+The deterministic-evaluation throughput path.  The remote TPU pays a
+~30 ms round trip for every *blocking* host<->device interaction, while
+async dispatch and async D2H copies are nearly free — so the design rule
+here is "never make the host wait":
 
-This corresponds to the reference's high-playback evaluation mode
-(README.md:53-60, playback_fps = 200): many frames tracked between keyframe
-insertions.  Both matching stages run against the same local-map snapshot
-(the per-frame path keeps the reference's separate last-frame coarse map).
+  * one window = W frames tracked sequentially in ONE compiled
+    ``lax.scan`` (predict -> match -> robust GN -> keyframe decision);
+  * the scan carry (pose, velocity, keyframe-decision state) is returned
+    as device arrays, so the NEXT window chains directly on device with
+    no host round trip;
+  * the keyframe decision is evaluated *in-scan* against a carried
+    "virtual keyframe" state: when the decision fires the scan keeps
+    tracking and simply resets the decision state (time / center /
+    viewdir / match count) to the current frame, so speculatively
+    dispatched follow-up windows stay valid — the host inserts the real
+    keyframe when it consumes the results, exactly the reference's
+    async-mode semantics where tracking runs ahead of mapping
+    (README.md:61-65, Snake/System/DelayedParallelMapOptimization.h);
+  * per-frame outputs are compact (24 f32 + N int16 assignments) and are
+    fetched with ``copy_to_host_async`` so one round trip syncs a whole
+    window's results.
+
+The scan only *stops* (carries state through unchanged) when tracking
+fails (< 25 inliers) — the host then falls back to the per-frame path
+(brute-force recovery, Snake/Tracking/TrackingCoarse.cpp:343-512).
 
 Frame payloads travel as ONE flat f32 buffer (descriptor bit planes are
-bitcast) — a single H2D transfer per window.
+bitcast) — a single async H2D transfer per window.
 """
 
 from __future__ import annotations
@@ -42,6 +52,12 @@ from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
 # previous frame (identity when no IMU) — the reference's IMU-based pose
 # prediction in coarse tracking (Snake/Tracking/TrackingCoarse.cpp:322-327).
 FRAME_SCALARS = 2 + 9
+
+# keyframe-decision carry vector layout (see kf_decision below):
+#   [0] last-KF match count  [1] last-KF timestamp  [2:5] last-KF camera
+#   center  [5:8] last-KF view direction  [8] median scene depth
+#   [9] frames since last KF
+DEC_SIZE = 10
 
 
 def frame_buffer_width(n_slots: int) -> int:
@@ -81,6 +97,20 @@ def pack_frames_np(frames, n_slots: int) -> np.ndarray:
     return out
 
 
+def make_dec_state(last_kf_matches: float, last_kf_time: float,
+                   last_kf_center: np.ndarray, last_kf_viewdir: np.ndarray,
+                   median_depth: float, frames_since_kf: int) -> np.ndarray:
+    """Host-side construction of the keyframe-decision carry vector."""
+    dec = np.zeros(DEC_SIZE, dtype=np.float32)
+    dec[0] = last_kf_matches
+    dec[1] = last_kf_time
+    dec[2:5] = last_kf_center
+    dec[5:8] = last_kf_viewdir
+    dec[8] = median_depth
+    dec[9] = frames_since_kf
+    return dec
+
+
 def _unpack_frame(buf: jax.Array, n_slots: int) -> M.FrameFeatures:
     o = 0
     uv = buf[o:o + n_slots * 2].reshape(n_slots, 2); o += n_slots * 2
@@ -108,6 +138,8 @@ def window_track(
     frames_buf: jax.Array,        # (W, K) packed frames
     T_last: jax.Array,            # (4, 4) pose of the previous frame
     velocity: jax.Array,          # (4, 4) camera-space motion model
+    dec_state: jax.Array,         # (DEC_SIZE,) keyframe-decision carry
+    stopped_in: jax.Array,        # () bool: chain already failed upstream
     cam: Pinhole,
     bf: jax.Array,
     image_bounds: jax.Array,      # (4,)
@@ -115,16 +147,9 @@ def window_track(
     log_scale_factor: jax.Array,
     coarse_radius: jax.Array,
     fine_th: jax.Array,
-    # keyframe-decision scalars (KeyframeDecision.cpp semantics)
-    kfi_target: jax.Array,        # () target matches
-    last_kf_matches: jax.Array,   # () reference KF match count (>= minObs)
-    last_kf_time: jax.Array,      # () timestamp of the last keyframe
-    last_kf_center: jax.Array,    # (3,) camera center of the last keyframe
-    last_kf_viewdir: jax.Array,   # (3,) optical axis of the last keyframe
-    median_depth: jax.Array,      # () last KF median depth
+    kfi_target: jax.Array,        # () target matches (static per run)
     is_stereo: jax.Array,         # () bool
     th_depth: jax.Array,          # () close-point threshold
-    frames_since_kf0: jax.Array,  # () frames between last KF and frame 0
     n_valid_frames: jax.Array,    # () unpadded window length
     n_slots: int = 1024,
     two_stage: bool = True,
@@ -132,11 +157,14 @@ def window_track(
 ):
     """Track up to W frames against one local-map snapshot.
 
-    Returns a packed (W, 20 + 2*N) f32 array per frame:
-      [0:16] pose, [16] n_inliers, [17] ok, [18] need_kf, [19] stopped,
-      [20:20+N] point assignment (local lm index, -1 none),
-      [20+N:20+2N] reserved;
-    plus visible/found accumulators (P,) summed over tracked frames.
+    Returns ``(outs, assign, vis, fnd, carry)`` where
+      outs   (W, 24) f32: [0:16] pose, [16] n_inliers, [17] ok,
+             [18] need_kf, [19] stopped-before-this-frame, [20:24] reserved
+      assign (W, N) int16: local-map index per feature (-1 = unmatched)
+      vis    (P,) i32: per-point visible counts summed over tracked frames
+      fnd    (P,) i32: per-point found counts summed over tracked frames
+      carry  (T, velocity, dec_state, stopped): device arrays for chaining
+             the next window with no host round trip.
     """
     st = M.ScaleTables(scales=scales, log_scale_factor=log_scale_factor,
                        levels=scales.shape[0])
@@ -196,11 +224,18 @@ def window_track(
         ].add(1.0, mode="drop")[:P]
         return T2, assign, n2, visible.astype(jnp.float32), found
 
-    def kf_decision(T, n_inl, ts, frame, assign, frames_since_kf):
-        """KeyframeDecision.cpp rules evaluated on device."""
+    def kf_decision(T, n_inl, ts, frame, assign, dec):
+        """KeyframeDecision.cpp rules evaluated on device against the
+        carried (virtual) last-keyframe state."""
+        last_kf_matches = dec[0]
+        last_kf_time = dec[1]
+        last_kf_center = dec[2:5]
+        last_kf_viewdir = dec[5:8]
+        median_depth = dec[8]
+        frames_since_kf = dec[9] + 1.0
+
         current = n_inl
         # stereo close-point rule
-        pidx = jnp.clip(assign, 0, P - 1)
         close = (assign >= 0) & (frame.right > 0)
         depth_est = jnp.where(frame.right > 0,
                               bf / jnp.maximum(frame.uv[:, 0] - frame.right,
@@ -213,7 +248,7 @@ def window_track(
 
         target_ratio = current.astype(jnp.float32) / kfi_target
         kf_ratio = current.astype(jnp.float32) / jnp.maximum(
-            last_kf_matches.astype(jnp.float32), 1.0
+            last_kf_matches, 1.0
         )
         time_rule = (ts - last_kf_time) >= 0.5
 
@@ -222,7 +257,7 @@ def window_track(
         trans_angle = jnp.degrees(jnp.arctan2(
             baseline / 2.0, jnp.maximum(median_depth, 1e-6)
         ))
-        viewdir = T[:3, :3].T @ jnp.asarray([0.0, 0.0, 1.0])
+        viewdir = T[:3, :3].T @ jnp.asarray([0.0, 0.0, 1.0], dtype=T.dtype)
         rot_angle = jnp.degrees(jnp.arccos(jnp.clip(
             jnp.sum(viewdir * last_kf_viewdir), -1.0, 1.0
         )))
@@ -241,11 +276,22 @@ def window_track(
         need = need | (~super_bad & ~very_good
                        & (frames_rule
                           | jnp.where(good, False, geometry) | geometry_bad))
-        return need
+        # virtual-keyframe reset: subsequent frames in this (and chained)
+        # windows measure their decision against the new keyframe.  The
+        # match count is approximated by the current inlier count and the
+        # median depth is carried (the host refreshes both when the chain
+        # restarts after the real insertion).
+        dec_fired = jnp.concatenate([
+            jnp.stack([n_inl.astype(jnp.float32), ts]),
+            cam_center, viewdir,
+            jnp.stack([median_depth, jnp.float32(0.0)]),
+        ]).astype(dec.dtype)
+        dec_pass = dec.at[9].set(frames_since_kf)
+        return need, jnp.where(need, dec_fired, dec_pass)
 
     def scan_body(carry, xs):
         frame_buf, w_idx = xs
-        T_last_c, vel, stopped = carry
+        T_last_c, vel, dec, stopped = carry
         frame, ts, dR_imu = _unpack_frame(frame_buf, n_slots)
         T_pred = vel @ T_last_c
         if use_imu:
@@ -256,17 +302,18 @@ def window_track(
             )
         T, assign, n_inl, visible, found = track_one(T_pred, frame)
         ok = n_inl >= 25
-        need_kf = kf_decision(T, n_inl, ts, frame, assign,
-                              frames_since_kf0 + w_idx + 1)
         padded = w_idx >= n_valid_frames  # duplicated tail padding
         active = (~stopped) & ok & (~padded)
+        need_kf, dec_next = kf_decision(T, n_inl, ts, frame, assign, dec)
+        need_kf = need_kf & active
+        new_dec = jnp.where(active, dec_next, dec)
         # motion model update only while actively tracking; orthonormalized
         # so f32 composition defects cannot compound across the window
         new_vel = jnp.where(
             active, lie.orthonormalize(T @ lie.se3_inverse(T_last_c)), vel
         )
         new_T = jnp.where(active, T, T_last_c)
-        stop_after = stopped | (~ok) | need_kf
+        stop_after = stopped | ((~ok) & (~padded))
         out = jnp.concatenate([
             T.reshape(-1),
             jnp.stack([
@@ -275,20 +322,20 @@ def window_track(
                 need_kf.astype(jnp.float32),
                 stopped.astype(jnp.float32),
             ]),
-            assign.astype(jnp.float32),
+            jnp.zeros((4,), dtype=jnp.float32),
         ])
         vis = jnp.where(active, visible, 0.0)
         fnd = jnp.where(active, found, 0.0)
-        return (new_T, new_vel, stop_after), (out, vis, fnd)
+        assign_out = jnp.where(active, assign, -1).astype(jnp.int16)
+        return ((new_T, new_vel, new_dec, stop_after),
+                (out, assign_out, vis, fnd))
 
-    init = (T_last, velocity, jnp.zeros((), dtype=bool))
+    init = (T_last, velocity, dec_state, stopped_in)
     W = frames_buf.shape[0]
-    (T_out, vel_out, _), (outs, vis, fnd) = jax.lax.scan(
+    carry_out, (outs, assign, vis, fnd) = jax.lax.scan(
         scan_body, init, (frames_buf, jnp.arange(W, dtype=jnp.int32))
     )
-    packed = jnp.concatenate([
-        outs.reshape(-1),
-        jnp.sum(vis, axis=0),
-        jnp.sum(fnd, axis=0),
-    ])
-    return packed
+    return (outs, assign,
+            jnp.sum(vis, axis=0).astype(jnp.int32),
+            jnp.sum(fnd, axis=0).astype(jnp.int32),
+            carry_out)

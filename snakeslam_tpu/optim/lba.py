@@ -182,18 +182,23 @@ class LocalBA:
             problem, self.cam, self.bf, cam_pose, points
         )
 
+        # one batched round trip for all three result arrays
+        from snakeslam_tpu.utils.fetch import fetch_np
+
+        cam_pose, points, outliers = fetch_np(cam_pose, points, outliers)
+
         with smap.lock:
             # optimistic-concurrency drop on concurrent modification
             if smap.state != state_before:
                 return
-            cam_pose = np.asarray(cam_pose, dtype=np.float64)
-            points = np.asarray(points, dtype=np.float64)
+            cam_pose = cam_pose.astype(np.float64)
+            points = points.astype(np.float64)
             win = aux["cams"][: aux["n_window"]]
             smap.kf_pose[win] = cam_pose[: len(win)]
             smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
 
             erase_outlier_observations(
-                smap, aux["pts"], np.asarray(outliers), aux["obs_kf_id"],
+                smap, aux["pts"], outliers, aux["obs_kf_id"],
                 aux["obs_feat"], aux["obs_valid"],
             )
             smap.state += 1

@@ -1,20 +1,38 @@
-"""Windowed tracking driver: host loop around the window megastep.
+"""Windowed tracking driver: a speculative device pipeline.
 
-Runs steady-state tracking W frames per device round trip (see
-models/window_step.py); drops back to the per-frame Tracker path for
-initialization, keyframe insertion, failures, and recovery.  This is the
-high-throughput deterministic evaluation mode (the reference's
-playback_fps=200 setting, README.md:53-60).
+Runs steady-state tracking W frames per compiled scan (see
+models/window_step.py) with up to ``depth`` windows in flight at once.
+Windows chain their scan carry (pose / velocity / keyframe-decision
+state) **on device**, so dispatching window k+1 needs no host round
+trip; results are pulled back with batched async D2H copies (one ~30 ms
+tunnel round trip syncs a whole window).  The keyframe decision runs
+in-scan against a carried virtual-keyframe state, so speculation stays
+valid across keyframe boundaries — the host inserts the real keyframe
+(and runs the mapping back-ends) when it consumes the window that
+contains it, then restarts the chain on a refreshed local-map snapshot.
+This is the reference's async deployment mode re-shaped for a remote
+accelerator: tracking runs ahead on a slightly stale map while mapping
+catches up (README.md:61-65, DelayedParallelMapOptimization.h).
+
+Falls back to the per-frame Tracker path for initialization, failures,
+and recovery.  Deterministic: dispatch/consume order is a pure function
+of the input sequence.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from snakeslam_tpu.map.slam_map import FrameData
-from snakeslam_tpu.models.window_step import pack_frames_np, window_track
+from snakeslam_tpu.models.window_step import (
+    make_dec_state,
+    pack_frames_np,
+    window_track,
+)
 from snakeslam_tpu.system.settings import InputType
 from snakeslam_tpu.tracking.tracker import TrackingState
 
@@ -38,14 +56,78 @@ def gyro_delta_rotation(omega: np.ndarray, dt: np.ndarray,
     return dR
 
 
+@dataclass
+class _InFlight:
+    start: int                    # absolute index of the window's 1st frame
+    batch: list                   # the (unpadded) FrameData list
+    outs: object                  # device futures
+    assign: object
+    vis: object
+    fnd: object
+    lm_ids: np.ndarray
+    copied: bool = field(default=False)
+
+    def start_copy(self):
+        if not self.copied:
+            for a in (self.outs, self.assign, self.vis, self.fnd):
+                a.copy_to_host_async()
+            self.copied = True
+
+    def fetch(self):
+        self.start_copy()
+        return (np.asarray(self.outs), np.asarray(self.assign),
+                np.asarray(self.vis), np.asarray(self.fnd))
+
+
 class WindowedRunner:
-    def __init__(self, system, window: int = 16, two_stage: bool = True):
+    def __init__(self, system, window: int = 16, two_stage: bool = True,
+                 depth: int = 3, async_backends: bool | None = None):
         self.system = system
         self.tracker = system.tracker
         self.window = window
         self.two_stage = two_stage
+        self.depth = max(1, depth)
         self.n_device_calls = 0
         self.imu_solver = getattr(system, "imu_solver", None)
+        # async mode (the reference's async=true deployment setting,
+        # README.md:61-65): keyframe insertion + mapping back-ends run on
+        # ONE worker thread so their tunnel round trips overlap the window
+        # pipeline; all map mutation stays serialized on that thread.
+        # Deterministic mode (default) runs everything inline.
+        if async_backends is None:
+            async_backends = bool(getattr(system.s, "async_mode", False))
+        self.async_backends = async_backends
+        self._pool = None
+        self._pending = []
+        if async_backends:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="snake-backend")
+
+    # -- serialized map-mutation executor --------------------------------
+
+    def _submit(self, fn, *args):
+        if self._pool is None:
+            return fn(*args)
+        self._pending.append(self._pool.submit(fn, *args))
+        return None
+
+    def _drain(self):
+        """Wait until all queued map work has completed."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+    def _idle(self) -> bool:
+        if not self._pending:
+            return True
+        if all(f.done() for f in self._pending):
+            for f in self._pending:
+                f.result()   # surface worker exceptions
+            self._pending = []
+            return True
+        return False
 
     def _use_imu(self) -> bool:
         sol = self.imu_solver
@@ -67,7 +149,7 @@ class WindowedRunner:
 
     # ------------------------------------------------------------------
 
-    def _decision_scalars(self):
+    def _initial_dec_state(self) -> np.ndarray:
         t = self.tracker
         smap = t.map
         kf = t.last_kf
@@ -78,18 +160,10 @@ class WindowedRunner:
         center = -T[:3, :3].T @ T[:3, 3]
         viewdir = T[:3, :3].T @ np.array([0.0, 0.0, 1.0])
         med = smap.kf_median_depth[kf] or smap.compute_median_depth(kf)
-        return dict(
-            kfi_target=jnp.float32(t.s.kfi_target_matches),
-            last_kf_matches=jnp.float32(last_kf_matches),
-            last_kf_time=jnp.float32(smap.kf_timestamp[kf]),
-            last_kf_center=jnp.asarray(center, dtype=jnp.float32),
-            last_kf_viewdir=jnp.asarray(viewdir, dtype=jnp.float32),
-            median_depth=jnp.float32(max(med, 1e-3)),
-            is_stereo=jnp.asarray(
-                t.s.input_type == InputType.Stereo, dtype=bool
-            ),
-            th_depth=jnp.float32(t.s.th_depth),
-        )
+        frames_since = (int(t.last_frame.frame_id)
+                        - int(smap.kf_frame_id[kf]))
+        return make_dec_state(last_kf_matches, smap.kf_timestamp[kf],
+                              center, viewdir, max(med, 1e-3), frames_since)
 
     def _local_map(self):
         t = self.tracker
@@ -118,138 +192,232 @@ class WindowedRunner:
     def run(self, frames: list[FrameData]) -> int:
         i = 0
         n = len(frames)
-        W = self.window
         t = self.tracker
-        s = self.system.s
-        Ns = s.feature_slots
         while i < n:
             if t.state != TrackingState.OK or t.last_frame is None \
                     or t.last_frame.pose_cw is None:
+                self._drain()
                 t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
                 continue
+            self._drain()
             lm, lm_ids = self._local_map()
             if lm is None:
                 t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
                 continue
+            i = self._run_chain(frames, i, lm, lm_ids)
+        self._drain()
+        t.local_mapper.flush_deferred()
+        return n
 
-            batch = frames[i:i + W]
-            actual = len(batch)
-            use_imu = self._use_imu()
-            if use_imu:
-                self._attach_imu_prediction(batch)
-            while len(batch) < W:  # pad to the compiled width
-                batch = batch + [batch[-1]]
-            buf = pack_frames_np(batch, Ns)
+    # ------------------------------------------------------------------
 
-            def dispatch():
-                self.n_device_calls += 1
-                return window_track(
-                    lm, jnp.asarray(buf),
-                    jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
-                    jnp.asarray(t.velocity, dtype=jnp.float32),
-                    t.cam, t.bf, t.bounds, t.scales, t.log_sf,
-                    t.coarse_radius, t.fine_th,
-                    **self._decision_scalars(),
-                    frames_since_kf0=jnp.int32(
-                        int(batch[0].frame_id)
-                        - int(t.map.kf_frame_id[t.last_kf])
-                    ),
-                    n_valid_frames=jnp.int32(actual),
-                    n_slots=Ns, two_stage=self.two_stage, use_imu=use_imu,
-                )
+    def _dispatch(self, frames, start, W, lm, lm_ids, carry, scal):
+        t = self.tracker
+        s = self.system.s
+        Ns = s.feature_slots
+        batch = frames[start:start + W]
+        actual = len(batch)
+        if self._use_imu():
+            self._attach_imu_prediction(batch)
+        padded = batch
+        while len(padded) < W:  # pad to the compiled width
+            padded = padded + [padded[-1]]
+        buf = pack_frames_np(padded, Ns)
+        self.n_device_calls += 1
+        outs, assign, vis, fnd, carry_out = window_track(
+            lm, jax.device_put(buf),
+            carry[0], carry[1], carry[2], carry[3],
+            t.cam, t.bf, t.bounds, t.scales, t.log_sf,
+            t.coarse_radius, t.fine_th,
+            n_valid_frames=jnp.int32(actual),
+            n_slots=Ns, two_stage=self.two_stage, use_imu=self._use_imu(),
+            **scal,
+        )
+        item = _InFlight(start=start, batch=batch, outs=outs, assign=assign,
+                         vis=vis, fnd=fnd, lm_ids=lm_ids)
+        return item, carry_out
 
-            fut = dispatch()
-            # overlap deferred keyframe back-ends (triangulation, fusion,
-            # LBA, loop detection) with the in-flight window scan
-            transforms_before = getattr(t.map, "n_transforms", 0)
-            t.local_mapper.flush_deferred()
+    def _run_chain(self, frames, i, lm, lm_ids) -> int:
+        """Dispatch chained windows speculatively from frame i; returns the
+        index of the first frame NOT consumed.
+
+        The chain is continuous: a keyframe does NOT break it.  When a
+        window containing a keyframe is consumed, the mapping back-ends run
+        immediately (their tunnel round trips overlap the still-executing
+        speculative windows) and the refreshed local-map snapshot is swapped
+        into all FUTURE dispatches — the in-flight ones keep tracking on the
+        slightly stale snapshot, the reference's async-mode behaviour.  The
+        chain only ends on tracking failure, a whole-map rebase (loop
+        correction), a snapshot bucket-size change (would recompile), or
+        end of input."""
+        t = self.tracker
+        n = len(frames)
+        W = self.window
+        scal = dict(
+            kfi_target=jnp.float32(t.s.kfi_target_matches),
+            is_stereo=jnp.asarray(
+                t.s.input_type == InputType.Stereo, dtype=bool),
+            th_depth=jnp.float32(t.s.th_depth),
+        )
+        carry = (
+            jnp.asarray(t.last_frame.pose_cw, dtype=jnp.float32),
+            jnp.asarray(t.velocity, dtype=jnp.float32),
+            jnp.asarray(self._initial_dec_state()),
+            jnp.zeros((), dtype=bool),
+        )
+        bucket = int(lm.position.shape[0])
+
+        inflight: list[_InFlight] = []
+        next_i = i
+        stop_dispatch = False
+        failed_at = -1
+        transforms_before = getattr(t.map, "n_transforms", 0)
+
+        def top_up():
+            nonlocal next_i, carry
+            while (not stop_dispatch and next_i < n
+                   and len(inflight) < self.depth):
+                item, carry = self._dispatch(
+                    frames, next_i, W, lm, lm_ids, carry, scal)
+                next_i += len(item.batch)
+                inflight.append(item)
+                inflight[0].start_copy()
+
+        top_up()
+        consumed_to = i
+        refresh_due = False
+        while inflight:
+            item = inflight.pop(0)
+            if inflight:
+                inflight[0].start_copy()
             try:
-                packed = np.asarray(fut)
+                outs, assign, vis, fnd = item.fetch()
             except jax.errors.JaxRuntimeError:
-                # transient device/tunnel failure (e.g. FAILED_PRECONDITION
-                # through the remote-TPU link): retry the window once, then
-                # fall back to the per-frame path for this frame
-                try:
-                    packed = np.asarray(dispatch())
-                except jax.errors.JaxRuntimeError:
-                    self.system.process_frame(frames[i])
-                    i += 1
-                    continue
-            if getattr(t.map, "n_transforms", 0) != transforms_before:
-                # a loop correction re-based the map while the window was in
-                # flight: its poses live in the old frame — discard and
-                # re-track from the per-frame path
-                self.system.process_frame(frames[i])
-                i += 1
-                continue
-
-            stride = 20 + Ns
-            P = (len(packed) - W * stride) // 2  # snapshot bucket size
-            outs = packed[: W * stride].reshape(W, stride)
-            vis_sum = packed[W * stride: W * stride + P]
-            fnd_sum = packed[W * stride + P: W * stride + 2 * P]
-
-            consumed = 0
-            for w in range(actual):
-                row = outs[w]
-                stopped_before = row[19] > 0.5
-                if stopped_before:
+                # transient tunnel failure: drop everything in flight and
+                # resume from the per-frame path at this window's start
+                inflight.clear()
+                failed_at = item.start
+                break
+            got_kf = self._consume(item, outs, assign, vis, fnd)
+            if got_kf is not None and got_kf is not True and got_kf < 0:
+                # tracking failed inside this window at frame -(got_kf+1)
+                failed_at = -(got_kf + 1)
+                inflight.clear()
+                break
+            consumed_to = item.start + len(item.batch)
+            if got_kf:
+                # run the mapping back-ends: inline in deterministic mode,
+                # queued on the worker thread in async mode — either way
+                # their round trips overlap the in-flight windows
+                self._submit(t.local_mapper.flush_deferred)
+                refresh_due = True
+            if refresh_due and self._idle():
+                refresh_due = False
+                if getattr(t.map, "n_transforms", 0) != transforms_before:
+                    # a loop correction re-based the map: already-consumed
+                    # poses were rebased by the tracker's transform
+                    # listener, but in-flight windows were computed in the
+                    # old basis — discard them and restart the chain
+                    inflight.clear()
+                    stop_dispatch = True
                     break
-                ok = row[17] > 0.5
-                if not ok:
-                    break  # re-run this frame through the full tracker
-                frame = batch[w]
-                if self.imu_solver is not None:
-                    # keep keyframe-edge preintegration windows complete
-                    self.imu_solver.add_frame_samples(frame)
-                frame.pose_cw = row[:16].reshape(4, 4).astype(np.float64)
-                assign = row[20:20 + Ns].astype(np.int64)[: frame.n]
-                matches = np.full(frame.n, -1, dtype=np.int64)
-                sel = assign >= 0
-                matches[sel] = lm_ids[assign[sel]]
-                frame.matches = matches
-                frame.outlier = np.zeros(frame.n, dtype=bool)
-                frame.ref_kf = t.last_kf
-                # tracker bookkeeping
-                if (t.last_tracked_frame is not None
-                        and t.last_tracked_frame.pose_cw is not None):
-                    t.velocity = frame.pose_cw @ np.linalg.inv(
-                        t.last_tracked_frame.pose_cw
-                    )
-                t.last_tracked_frame = frame
-                t.last_frame = frame
-                t.trajectory.append(frame)
-                consumed += 1
-                need_kf = row[18] > 0.5
-                if need_kf:
+                # swap the refreshed snapshot into future dispatches; a
+                # bucket change would recompile the scan, so end the chain
+                # instead and let run() start a fresh one
+                new_lm, new_ids = self._local_map()
+                if new_lm is None:
+                    stop_dispatch = True
+                elif int(new_lm.position.shape[0]) != bucket:
+                    stop_dispatch = True
+                else:
+                    lm, lm_ids = new_lm, new_ids
+                    # refresh the carried median scene depth (the in-scan
+                    # virtual-keyframe reset cannot recompute it)
+                    med = t.map.kf_median_depth[t.last_kf] \
+                        or t.map.compute_median_depth(t.last_kf)
+                    carry = (carry[0], carry[1],
+                             carry[2].at[8].set(jnp.float32(max(med, 1e-3))),
+                             carry[3])
+            top_up()
+
+        if failed_at >= 0:
+            self._drain()
+            t.local_mapper.flush_deferred()
+            self.system.process_frame(frames[failed_at])
+            return failed_at + 1
+        self._drain()
+        t.local_mapper.flush_deferred()
+        return consumed_to
+
+    def _consume(self, item: _InFlight, outs, assign, vis, fnd):
+        """Apply one window's results to host state.
+
+        Returns None (clean, no KF), True (>=1 KF inserted), or a negative
+        number -(abs_index+1) when tracking failed at abs_index."""
+        t = self.tracker
+        lm_ids = item.lm_ids
+        inserted = False
+        for w, frame in enumerate(item.batch):
+            row = outs[w]
+            if row[19] > 0.5:   # stopped before this frame
+                return -(item.start + w + 1)
+            if row[17] < 0.5:   # not ok
+                # stats up to the failure are already summed in vis/fnd for
+                # active frames only; commit them before bailing
+                self._submit(self._commit_stats, lm_ids, vis, fnd)
+                return -(item.start + w + 1)
+            if self.imu_solver is not None:
+                # keep keyframe-edge preintegration windows complete
+                # (serialized with the back-end worker's update_map)
+                self._submit(self.imu_solver.add_frame_samples, frame)
+            frame.pose_cw = row[:16].reshape(4, 4).astype(np.float64)
+            a = assign[w].astype(np.int64)[: frame.n]
+            matches = np.full(frame.n, -1, dtype=np.int64)
+            sel = a >= 0
+            matches[sel] = lm_ids[a[sel]]
+            frame.matches = matches
+            frame.outlier = np.zeros(frame.n, dtype=bool)
+            frame.ref_kf = t.last_kf
+            if (t.last_tracked_frame is not None
+                    and t.last_tracked_frame.pose_cw is not None):
+                t.velocity = frame.pose_cw @ np.linalg.inv(
+                    t.last_tracked_frame.pose_cw
+                )
+            t.last_tracked_frame = frame
+            t.last_frame = frame
+            t.trajectory.append(frame)
+            self.system.n_frames += 1
+            if row[18] > 0.5:   # need_kf
+                if self._pool is None:
                     kf = t.local_mapper.insert_keyframe(frame, t.last_kf,
                                                         defer=True)
                     if kf >= 0:
                         t.last_kf = kf
-                    break
+                        inserted = True
+                else:
+                    self._submit(self._insert_kf_task, frame)
+                    inserted = True
+        self._submit(self._commit_stats, lm_ids, vis, fnd)
+        return True if inserted else None
 
-            # found/visible statistics: per-frame integer counts, matching
-            # the reference's per-frame IncreaseVisible/IncreaseFound so the
-            # found_ratio < 0.25 cull rule keeps its meaning across windows
-            nlm = len(lm_ids)
-            np.add.at(t.map.pt_visible, lm_ids,
-                      np.rint(vis_sum[:nlm]).astype(t.map.pt_visible.dtype))
-            np.add.at(t.map.pt_found, lm_ids,
-                      np.rint(fnd_sum[:nlm]).astype(t.map.pt_found.dtype))
+    def _insert_kf_task(self, frame):
+        """Worker-thread keyframe insertion (async mode)."""
+        t = self.tracker
+        kf = t.local_mapper.insert_keyframe(frame, t.last_kf, defer=True)
+        if kf >= 0:
+            t.last_kf = kf
 
-            if consumed == 0:
-                # first frame of the window failed: full per-frame path
-                # (brute-force fallback / loss handling); run any deferred
-                # keyframe work first so the map is fully current
-                t.local_mapper.flush_deferred()
-                self.system.process_frame(frames[i])
-                i += 1
-            else:
-                self.system.n_frames += consumed
-                i += consumed
-        t.local_mapper.flush_deferred()
-        return n
+    def _commit_stats(self, lm_ids, vis, fnd):
+        """Per-frame integer visible/found sums (reference per-frame
+        IncreaseVisible/IncreaseFound so the found_ratio < 0.25 cull rule
+        keeps its meaning across windows)."""
+        t = self.tracker
+        nlm = len(lm_ids)
+        np.add.at(t.map.pt_visible, lm_ids,
+                  vis[:nlm].astype(t.map.pt_visible.dtype))
+        np.add.at(t.map.pt_found, lm_ids,
+                  fnd[:nlm].astype(t.map.pt_found.dtype))
