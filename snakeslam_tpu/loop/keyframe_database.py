@@ -28,14 +28,9 @@ class KeyframeDatabase:
     # ------------------------------------------------------------------
 
     def compute_frame_vector(self, desc_bits: np.ndarray):
-        """(n, 256) bits -> (words, dense vector)."""
-        n = len(desc_bits)
-        words, v = BOW.transform(
-            self.voc, jnp.asarray(desc_bits), jnp.ones(n, dtype=bool)
-        )
-        from snakeslam_tpu.utils.fetch import fetch_np
-
-        return fetch_np(words, v)
+        """(n, 256) bits -> (words, dense vector); host-side descent (the
+        tree walk is ~2 MFLOP, far below one tunnel round trip)."""
+        return BOW.transform_np(self.voc, desc_bits)
 
     def add(self, kf: int):
         n = int(self.map.kf_n_feat[kf])

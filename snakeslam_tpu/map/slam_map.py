@@ -24,6 +24,11 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+# byte -> set-bit count, for packed-descriptor Hamming distances
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
 MAX_OBS = 24  # per-point observation slots (reference points rarely exceed
               # ~15 observers after keyframe simplification)
 
@@ -285,33 +290,41 @@ class SlamMap:
         okf = self.pt_obs_kf[pts]            # (n, MAX_OBS)
         ofe = self.pt_obs_feat[pts]
         valid = okf >= 0
+        # compress to the observation slots actually in use: points carry
+        # far fewer observations than the MAX_OBS padding, and the pairwise
+        # Hamming below is quadratic in the slot count
+        used_cols = np.nonzero(valid.any(axis=0))[0]
+        if len(used_cols) == 0:
+            return
+        okf = okf[:, used_cols]
+        ofe = ofe[:, used_cols]
+        valid = valid[:, used_cols]
+        M = len(used_cols)
         k = np.maximum(okf, 0)
         f = np.maximum(ofe, 0)
         # ---- distinctive descriptor: min median pairwise Hamming ----
-        bits = np.unpackbits(
-            self.kf_feat_desc[k, f], axis=-1, bitorder="little"
-        ).astype(np.int8)                    # (n, M, 256)
-        # pairwise Hamming as a batched sgemm (popcount(a^b) = wa+wb-2*a.b;
-        # exact in f32 for 256-bit descriptors) — BLAS is ~40x faster than
-        # an int32 einsum here
-        bf32 = bits.astype(np.float32)
-        dots = np.matmul(bf32, bf32.transpose(0, 2, 1)).astype(np.int32)
-        w = bits.sum(axis=-1, dtype=np.int32)
-        dist = w[:, :, None] + w[:, None, :] - 2 * dots    # (n, M, M)
+        # pairwise popcount on PACKED bytes via a 256-entry LUT: (n, M, M,
+        # 32) byte xors instead of unpacking every descriptor to 256 f32
+        # lanes (~5x less host time for M=24 observation slots)
+        packed = self.kf_feat_desc[k, f]             # (n, M, 32) uint8
+        x = packed[:, :, None, :] ^ packed[:, None, :, :]
+        dist = _POPCOUNT_LUT[x].sum(axis=-1, dtype=np.int32)   # (n, M, M)
         pair_ok = valid[:, :, None] & valid[:, None, :]
         dist = np.where(pair_ok, dist, 9999)
-        dist_sorted = np.sort(dist, axis=2).astype(np.float64)
+        dist_sorted = np.sort(dist, axis=2)
         counts = valid.sum(axis=1)
         med_idx = np.maximum((counts - 1) // 2, 0)
         med = np.take_along_axis(
-            dist_sorted, med_idx[:, None, None].repeat(MAX_OBS, axis=1),
+            dist_sorted, med_idx[:, None, None].repeat(M, axis=1),
             axis=2,
-        )[:, :, 0]
+        )[:, :, 0].astype(np.float64)
         med = np.where(valid, med, np.inf)
         best = med.argmin(axis=1)
         rows = np.arange(len(pts))
         self.pt_desc[pts] = self.kf_feat_desc[k[rows, best], f[rows, best]]
-        self.pt_bits[pts] = bits[rows, best]
+        self.pt_bits[pts] = np.unpackbits(
+            self.pt_desc[pts], axis=-1, bitorder="little"
+        ).astype(np.int8)
         # ---- viewing normal ----
         T = self.kf_pose[k]                   # (n, M, 4, 4)
         centers = -np.einsum("nmij,nmj->nmi",

@@ -131,11 +131,22 @@ class MapSearcher:
         costs one host<->device round trip and never re-syncs the point
         mirror mid-insert (the reference's lock-free compute under snapshot
         + guarded commit, NeighbourSearch.cpp:55-101)."""
+        disp = self.dispatch(kf, n_neighbors)
+        if disp is None:
+            return 0
+        arrays, ctx = disp
+        from snakeslam_tpu.utils.fetch import fetch_list
+
+        return self.commit(kf, fetch_list(arrays), ctx)
+
+    def dispatch(self, kf: int, n_neighbors: int = 15):
+        """Async half: stage + dispatch both fuse directions, no blocking.
+        Returns ([device arrays], ctx) or None."""
         smap = self.map
         ids, w = smap.covisible_keyframes(kf, min_weight=1)
         neighbors = [int(k) for k in ids[:n_neighbors]]
         if not neighbors:
-            return 0
+            return None
         # bucket the vmap width so compute follows the actual neighbor count
         n_neighbors = 1
         while n_neighbors < len(neighbors):
@@ -174,21 +185,23 @@ class MapSearcher:
                 jnp.asarray(self.bounds, dtype=jnp.float32),
                 self.scales, self.log_sf, int(self.scales.shape[0]),
             )
-        # single blocking boundary (one batched round trip for both
-        # directions), then host-side commits
-        from snakeslam_tpu.utils.fetch import fetch_np
+        arrays = [x for x in (fp_fwd, fp_bwd) if x is not None]
+        if not arrays:
+            return None
+        ctx = dict(neighbors=neighbors, ids_f=ids_f, ids_b=ids_b,
+                   has_fwd=fp_fwd is not None, has_bwd=fp_bwd is not None)
+        return arrays, ctx
 
-        fetched = fetch_np(*[x for x in (fp_fwd, fp_bwd) if x is not None])
-        if fp_fwd is not None and fp_bwd is not None:
-            fp_all, fp_b = fetched
-        elif fp_fwd is not None:
-            fp_all, fp_b = fetched, None
-        else:
-            fp_all, fp_b = None, fetched
-        if fp_all is not None:
-            for bi, nb in enumerate(neighbors):
-                fused += self._commit_fuse(fp_all[bi], ids_f, nb)
-        if fp_b is not None:
-            fused += self._commit_fuse(fp_b, ids_b, kf)
+    def commit(self, kf: int, fetched: list, ctx: dict) -> int:
+        """Host commit half: merge/link duplicates from fetched results."""
+        smap = self.map
+        fused = 0
+        fetched = list(fetched)
+        if ctx["has_fwd"]:
+            fp_all = fetched.pop(0)
+            for bi, nb in enumerate(ctx["neighbors"]):
+                fused += self._commit_fuse(fp_all[bi], ctx["ids_f"], nb)
+        if ctx["has_bwd"]:
+            fused += self._commit_fuse(fetched.pop(0), ctx["ids_b"], kf)
         smap.state += 1
         return fused

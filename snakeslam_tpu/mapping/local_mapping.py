@@ -27,7 +27,7 @@ import jax
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
-from snakeslam_tpu.utils.fetch import fetch_np
+from snakeslam_tpu.utils.fetch import fetch_list, fetch_np
 
 
 @functools.partial(
@@ -139,13 +139,39 @@ class LocalMapper:
 
     def process_deferred(self, kf: int, frame: FrameData):
         self._cull_recent_points(kf)
-        self._triangulate_new_points(kf)
-        # bidirectional neighbor fusion (MapSearcher, LocalMapping.cpp:70-80)
-        if self.map_searcher is not None:
-            self.map_searcher.process(kf)
+        # triangulation and bidirectional neighbor fusion (MapSearcher,
+        # LocalMapping.cpp:70-80) dispatch back-to-back and share ONE
+        # blocking readback: both search the pre-commit snapshot (points
+        # triangulated this round are re-fused by the deferred mapper's
+        # MapSearch pass, DeferredMapper.cpp:167-178), halving the tunnel
+        # round trips per keyframe
+        tri = self._tri_dispatch(kf)
+        fuse = (self.map_searcher.dispatch(kf)
+                if self.map_searcher is not None else None)
+        # the local BA solves against the same pre-commit snapshot (a
+        # one-keyframe lag, matching the reference's async LBA which reads
+        # whatever map state its worker thread sees); its per-element
+        # commit guards handle observations rewired by the fuse commit
+        ba = self.lba.dispatch(kf) if self.lba is not None else None
+        arrays = []
+        if tri is not None:
+            arrays += [tri[0]["valid"], tri[0]["match_b"], tri[0]["point"]]
+        if fuse is not None:
+            arrays += fuse[0]
+        if ba is not None:
+            arrays += ba[0]
+        fetched = fetch_list(arrays)
+        if tri is not None:
+            self._tri_commit(kf, fetched[0], fetched[1],
+                             fetched[2].astype(np.float64), tri[1])
+            del fetched[:3]
+        if fuse is not None:
+            nf = len(fuse[0])
+            self.map_searcher.commit(kf, fetched[:nf], fuse[1])
+            del fetched[:nf]
         self.map.update_points_bulk(self.map.keyframe_points(kf))
-        if self.lba is not None:
-            self.lba.add(kf)
+        if ba is not None:
+            self.lba.commit(kf, fetched, ba[1], check_state=False)
         if self.imu_solver is not None:
             self.imu_solver.update_map()
         for b in self.backends:
@@ -255,11 +281,27 @@ class LocalMapper:
                                 error_mono: float = 2.1):
         """CreateNewMapPoints: triangulate vs top covisible KFs
         (LocalMapping.cpp:317-329, Triangulator.cpp:15-111)."""
+        disp = self._tri_dispatch(kf, num_neighbors, feature_distance,
+                                  epipolar_distance, error_mono)
+        if disp is None:
+            return 0
+        out, ctx = disp
+        valid_all, match_all, pts_all = fetch_np(
+            out["valid"], out["match_b"], out["point"]
+        )
+        return self._tri_commit(kf, valid_all, match_all,
+                                pts_all.astype(np.float64), ctx)
+
+    def _tri_dispatch(self, kf: int, num_neighbors: int = 10,
+                      feature_distance: int = 50,
+                      epipolar_distance: float = 4.0,
+                      error_mono: float = 2.1):
+        """Async half of triangulation: stage + dispatch, no blocking."""
         smap = self.map
         ids, w = smap.covisible_keyframes(kf, min_weight=15)
         neighbors = ids[:num_neighbors]
         if len(neighbors) == 0:
-            return 0
+            return None
         # bucket the vmap width (1/2/4/8/...): compute scales with the
         # actual covisible-neighbor count, one compiled program per bucket
         num_neighbors = 1
@@ -294,11 +336,15 @@ class LocalMapper:
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
         )
-        valid_all, match_all, pts_all = fetch_np(
-            out["valid"], out["match_b"], out["point"]
-        )
-        pts_all = pts_all.astype(np.float64)
+        return out, dict(neighbors=neighbors, free_a=free_a)
 
+    def _tri_commit(self, kf: int, valid_all, match_all, pts_all, ctx):
+        """Host commit half of triangulation (drift-compensated in the
+        reference, Triangulator.cpp:52-109; here the map is only mutated by
+        the same serialized worker, so poses cannot drift mid-flight)."""
+        smap = self.map
+        neighbors = ctx["neighbors"]
+        free_a = ctx["free_a"]
         # vectorized commit: collect accepted candidates per neighbor
         # (earlier neighbors claim features first, Triangulator.cpp:52-109),
         # then one bulk allocation + per-keyframe bulk observation links

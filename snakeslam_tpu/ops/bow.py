@@ -158,6 +158,48 @@ def transform(voc: Vocabulary, desc_bits: jax.Array, valid: jax.Array):
                       voc.k, voc.levels)
 
 
+def transform_np(voc: Vocabulary, desc_bits: np.ndarray,
+                 valid: np.ndarray | None = None):
+    """Host-side vocabulary transform (same descent as ``transform``).
+
+    The tree descent over ~1k descriptors is ~2 MFLOP — far below the cost
+    of one remote-TPU round trip, so the per-keyframe BoW vector is
+    computed on host.  Numpy copies of the tree are cached on the
+    vocabulary's node array."""
+    key = id(voc.node_bits)
+    cached = _NP_VOC_CACHE.get(key)
+    if cached is None:
+        cached = (np.asarray(voc.node_bits), np.asarray(voc.idf))
+        _NP_VOC_CACHE.clear()
+        _NP_VOC_CACHE[key] = cached
+    node_bits, idf = cached
+    k, levels = voc.k, voc.levels
+    db = np.asarray(desc_bits, dtype=np.float32)            # (N, 256)
+    N = db.shape[0]
+    wa = db.sum(axis=1)
+    node = np.zeros(N, dtype=np.int64)
+    level_offset = 1
+    for lvl in range(levels):
+        child_idx = (level_offset + node * k)[:, None] + np.arange(k)[None]
+        child_bits = node_bits[child_idx].astype(np.float32)  # (N, k, 256)
+        d = np.einsum("nb,nkb->nk", db, child_bits)
+        ham = wa[:, None] + child_bits.sum(axis=2) - 2.0 * d
+        best = ham.argmin(axis=1)
+        node = node * k + best
+        level_offset += k ** (lvl + 1)
+    words = node.astype(np.int32)
+    n_words = k ** levels
+    if valid is None:
+        valid = np.ones(N, dtype=bool)
+    tf = np.bincount(words[valid], minlength=n_words).astype(np.float64)
+    v = tf * idf
+    norm = np.abs(v).sum()
+    return words, v / max(norm, 1e-9)
+
+
+_NP_VOC_CACHE: dict = {}
+
+
 def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
     """DBoW2 L1 similarity: 1 - 0.5 * |v1 - v2|_1 (vectors L1-normalized).
 

@@ -164,13 +164,24 @@ class LocalBA:
         protocol: pack under the lock, solve lock-free, commit under the
         lock with a mapState conflict check — LocalBundleAdjustment.cpp:
         75-500).  In deterministic mode the lock is uncontended."""
+        disp = self.dispatch(kf, iterations)
+        if disp is None:
+            return
+        from snakeslam_tpu.utils.fetch import fetch_list
+
+        # one batched round trip for all three result arrays
+        self.commit(kf, fetch_list(disp[0]), disp[1], check_state=True)
+
+    def dispatch(self, kf: int, iterations: int = 3):
+        """Async half: snapshot + pack + dispatch the solve, no blocking.
+        Returns ([device arrays], ctx) or None."""
         smap = self.map
         with smap.lock:
             if not smap.kf_valid[kf]:
-                return
+                return None
             window, boundary, pts = self.select_window(kf)
             if len(window) < 2 or len(pts) < 20:
-                return
+                return None
             state_before = smap.state
             problem, aux = self.pack(window, boundary, pts)
 
@@ -181,21 +192,28 @@ class LocalBA:
         outliers = BA.classify_outliers(
             problem, self.cam, self.bf, cam_pose, points
         )
+        aux["state_before"] = state_before
+        return [cam_pose, points, outliers], aux
 
-        # one batched round trip for all three result arrays
-        from snakeslam_tpu.utils.fetch import fetch_np
-
-        cam_pose, points, outliers = fetch_np(cam_pose, points, outliers)
-
+    def commit(self, kf: int, fetched, aux, check_state: bool = True):
+        """Guarded write-back.  check_state=False is the serialized-worker
+        mode: the only mutations since pack were this worker's own
+        triangulation/fusion commits (one-cycle lag, the reference's async
+        LBA behaves identically), so per-element guards below replace the
+        whole-map conflict drop."""
+        smap = self.map
+        cam_pose, points, outliers = fetched
         with smap.lock:
-            # optimistic-concurrency drop on concurrent modification
-            if smap.state != state_before:
+            if check_state and smap.state != aux["state_before"]:
+                # optimistic-concurrency drop on concurrent modification
                 return
             cam_pose = cam_pose.astype(np.float64)
             points = points.astype(np.float64)
             win = aux["cams"][: aux["n_window"]]
             smap.kf_pose[win] = cam_pose[: len(win)]
-            smap.pt_pos[aux["pts"]] = points[: len(aux["pts"])]
+            pts_arr = np.asarray(aux["pts"])
+            live = smap.pt_valid[pts_arr]
+            smap.pt_pos[pts_arr[live]] = points[: len(pts_arr)][live]
 
             erase_outlier_observations(
                 smap, aux["pts"], outliers, aux["obs_kf_id"],

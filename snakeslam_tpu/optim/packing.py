@@ -80,8 +80,13 @@ def erase_outlier_observations(smap: SlamMap, pts: np.ndarray,
         f = int(obs_feat[pi, mi])
         if k < 0 or f < 0:
             continue
-        smap.remove_observation(k, f)
         pt = int(pts[pi])
+        # the observation may have been rewired (point replaced by fusion)
+        # between pack and commit — only erase if it still belongs to the
+        # packed point
+        if smap.kf_obs[k, f] != pt:
+            continue
+        smap.remove_observation(k, f)
         if smap.pt_n_obs[pt] < min_obs:
             smap.erase_point(pt)
         removed += 1

@@ -292,8 +292,10 @@ class WindowedRunner:
         refresh_due = False
         while inflight:
             item = inflight.pop(0)
-            if inflight:
-                inflight[0].start_copy()
+            # async-copy the next TWO pending windows: the copies batch, so
+            # one tunnel round trip syncs multiple windows' results
+            for nxt in inflight[:2]:
+                nxt.start_copy()
             try:
                 outs, assign, vis, fnd = item.fetch()
             except jax.errors.JaxRuntimeError:

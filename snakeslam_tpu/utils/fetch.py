@@ -18,3 +18,11 @@ def fetch_np(*arrays):
             a.copy_to_host_async()
     out = tuple(np.asarray(a) for a in arrays)
     return out if len(out) != 1 else out[0]
+
+
+def fetch_list(arrays):
+    """Like fetch_np but always takes/returns a list."""
+    for a in arrays:
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+    return [np.asarray(a) for a in arrays]
