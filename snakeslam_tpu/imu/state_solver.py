@@ -87,6 +87,12 @@ class ImuStateSolver:
         self.T_cb = np.asarray(settings.T_cam_body, dtype=np.float64
                                ).reshape(4, 4)
         self.R_cb = self.T_cb[:3, :3]
+        # merge IMU sequences across culled keyframes (Keyframe.cpp:456-601)
+        hook = getattr(smap, "on_erase_keyframe", None)
+        if hook is not None and not any(
+            getattr(cb, "__self__", None) is self for cb in hook
+        ):
+            hook.append(self._on_keyframe_erased)
 
     # ------------------------------------------------------------------
 
@@ -144,6 +150,42 @@ class ImuStateSolver:
             jnp.ones(len(edge.omega), dtype=bool),
             jnp.asarray(self.bg, F64), jnp.asarray(self.ba, F64),
         )
+
+    def _on_keyframe_erased(self, kf: int):
+        """Keyframe culled: splice its incoming IMU sequence into the edge
+        of the NEXT keyframe in the chain, so simplification never destroys
+        inertial information (reference Keyframe::SetBadFlag merges the
+        culled KF's imu sequence into nextKF, Map/Keyframe.cpp:456-601)."""
+        edge_in = self.edges.pop(int(kf), None)
+        succ = next((k for k, e in self.edges.items()
+                     if int(e.prev_kf) == int(kf)), None)
+        if succ is None or edge_in is None:
+            return
+        e2 = self.edges[succ]
+        merged = ImuEdge(
+            prev_kf=int(edge_in.prev_kf),
+            omega=np.concatenate([edge_in.omega, e2.omega]),
+            acc=np.concatenate([edge_in.acc, e2.acc]),
+            dt=np.concatenate([edge_in.dt, e2.dt]),
+        )
+        self._preintegrate_edge(merged)
+        self.edges[succ] = merged
+
+    def iterate_ba_imu(self, k: int = 10):
+        """Final visual-inertial alternation (ImuStateSolver.cpp:469-484,
+        invoked from System::run at System.cpp:190-200): k rounds of
+        decoupled IMU chain solve + FullBA, one scale-solving pass, then k
+        more rounds.  Each FullBA carries the IMU relative-pose factors
+        when the GBA was constructed with this solver."""
+        if self.gba is None or not self.gravity_initialized:
+            return
+        for _ in range(k):
+            self._solve_chain(solve_scale=False)
+            self.gba.full_ba(iterations=1)
+        self._solve_chain(solve_scale=True)
+        for _ in range(k):
+            self._solve_chain(solve_scale=False)
+            self.gba.full_ba(iterations=1)
 
     def recompute_weights(self):
         """Re-preintegrate every edge at the current bias

@@ -127,6 +127,7 @@ class SlamMap:
         # reference keyframe (Frame.h:94-98); with absolute storage the
         # tracker must rebase its state explicitly
         self.on_transform: list = []
+        self.on_erase_keyframe: list = []
 
     # ------------------------------------------------------------------
     # allocation
@@ -380,6 +381,8 @@ class SlamMap:
         temporal chain, reparent spanning-tree children."""
         if not self.kf_valid[kf]:
             return
+        for cb in self.on_erase_keyframe:
+            cb(int(kf))
         n = self.kf_n_feat[kf]
         for f in np.nonzero(self.kf_obs[kf, :n] >= 0)[0]:
             pt = self.kf_obs[kf, f]

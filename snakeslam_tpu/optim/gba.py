@@ -71,9 +71,10 @@ def _rematch_batch(lm, feats_stack, poses, cam, bf, bounds, scales, log_sf,
 
 
 class GlobalBA:
-    def __init__(self, settings: Settings, smap: SlamMap):
+    def __init__(self, settings: Settings, smap: SlamMap, imu_solver=None):
         self.s = settings
         self.map = smap
+        self.imu_solver = imu_solver
         self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
                                   settings.cy)
         self.bf = jnp.float32(settings.bf)
@@ -112,6 +113,31 @@ class GlobalBA:
         obs = pack_observations(smap, pts, slot_of_kf, P, M,
                                 self.pyramid.inv_scales)
 
+        # IMU relative-pose constraints over the whole keyframe chain
+        # (GlobalBundleAdjustment.cpp:427-481)
+        rpc_kw = BA.empty_rpc()
+        if self.imu_solver is not None:
+            rpc = self.imu_solver.rpc_for_window([int(k) for k in kfs])
+            if rpc:
+                R = C
+                rpc_i = np.zeros(R, dtype=np.int32)
+                rpc_j = np.zeros(R, dtype=np.int32)
+                rpc_T = np.tile(np.eye(4, dtype=F32), (R, 1, 1))
+                rpc_w = np.zeros((R, 6), dtype=F32)
+                rpc_valid = np.zeros(R, dtype=bool)
+                for r, (ki, kj, T, w_t, w_r) in enumerate(rpc[:R]):
+                    rpc_i[r] = slot_of_kf[ki]
+                    rpc_j[r] = slot_of_kf[kj]
+                    rpc_T[r] = T
+                    rpc_w[r, :3] = w_t
+                    rpc_w[r, 3:] = w_r
+                    rpc_valid[r] = True
+                rpc_kw = dict(
+                    rpc_i=jnp.asarray(rpc_i), rpc_j=jnp.asarray(rpc_j),
+                    rpc_T=jnp.asarray(rpc_T), rpc_weight=jnp.asarray(rpc_w),
+                    rpc_valid=jnp.asarray(rpc_valid),
+                )
+
         problem = BA.BAProblem(
             cam_pose=jnp.asarray(cam_pose),
             cam_fixed=jnp.asarray(cam_fixed),
@@ -123,7 +149,7 @@ class GlobalBA:
             obs_right=jnp.asarray(obs["obs_right"]),
             obs_weight=jnp.asarray(obs["obs_weight"]),
             obs_valid=jnp.asarray(obs["obs_valid"]),
-            **BA.empty_rpc(),
+            **rpc_kw,
         )
         aux = dict(kfs=kfs, pts=pts, **obs)
         return problem, aux

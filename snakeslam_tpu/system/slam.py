@@ -146,9 +146,10 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
 
-    def finalize(self, gba_iterations: int = 5):
-        """End-of-run passes (System.cpp:186-215): full BA + outlier
-        removal + another BA round."""
+    def finalize(self, gba_iterations: int = 5, vi_alternations: int = 10):
+        """End-of-run passes (System.cpp:186-215): full BA (+ the final
+        visual-inertial alternation IterateBaImu when IMU is active,
+        System.cpp:190-200) + outlier removal + another BA round."""
         from snakeslam_tpu.optim.gba import GlobalBA
 
         # drain the delayed back-end queues (ForceCleanQueue analog,
@@ -156,8 +157,17 @@ class SlamSystem:
         self._simp_queue.force_clean()
         self._deferred_queue.force_clean()
         if self.map.n_keyframes >= 2:
-            gba = GlobalBA(self.s, self.map)
+            gba = GlobalBA(self.s, self.map, imu_solver=self.imu_solver)
             gba.full_ba(iterations=gba_iterations)
+            if (self.imu_solver is not None
+                    and self.imu_solver.gravity_initialized):
+                # final decoupled-VI alternation (IterateBaImu,
+                # ImuStateSolver.cpp:469-484)
+                old_gba, self.imu_solver.gba = self.imu_solver.gba, gba
+                self.imu_solver.iterate_ba_imu(vi_alternations)
+                self.imu_solver.gba = old_gba
+            else:
+                gba.full_ba(iterations=gba_iterations)
             gba.remove_outliers()
             gba.full_ba(iterations=gba_iterations)
             # rematch + pose-only realign of the non-keyframe frames against

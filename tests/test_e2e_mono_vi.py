@@ -66,3 +66,21 @@ def test_mono_vi_recovers_scale_and_gravity():
     # (both should agree up to the alignment rotation; the ATE test above
     # already covers consistency)
     assert sol.stage.name in ("OPTIMIZING", "DONE")
+
+    # final visual-inertial alternation (IterateBaImu, System.cpp:190-200
+    # + ImuStateSolver.cpp:469-484): finalize must not degrade — and
+    # should typically improve — keyframe accuracy and metric scale
+    kf_rmse_before, kf_scale_before = _keyframe_ate(system)
+    system.finalize(gba_iterations=2, vi_alternations=3)
+    kf_rmse_after, kf_scale_after = _keyframe_ate(system)
+    assert kf_rmse_after < max(kf_rmse_before * 1.10, 0.005), (
+        f"IterateBaImu degraded KF ATE: {kf_rmse_before} -> {kf_rmse_after}"
+    )
+    assert abs(kf_scale_after - 1.0) <= abs(kf_scale_before - 1.0) + 0.02, (
+        f"IterateBaImu degraded scale: {kf_scale_before} -> {kf_scale_after}"
+    )
+
+
+def _keyframe_ate(system):
+    rmse, scale, n = system.ate_against_gt(with_scale=True)
+    return rmse, scale

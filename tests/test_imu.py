@@ -184,3 +184,59 @@ def test_imu_chain_solver():
     assert np.abs(np.asarray(out["g"]) - G_WORLD).max() < 0.15
     # velocities recovered in *visual* scale: v_state ~ true v (world, metric)
     assert np.abs(np.asarray(out["v"]) - v).max() < 0.2
+
+
+def test_imu_sequence_merge_on_keyframe_cull():
+    """Culling a mid-chain keyframe must splice its IMU sequence into the
+    next keyframe's edge (Keyframe::SetBadFlag merge semantics,
+    /root/reference/Snake/Map/Keyframe.cpp:456-601) so _chain_keyframes
+    still yields one unbroken chain with matching time spans."""
+    from snakeslam_tpu.imu.state_solver import ImuStateSolver
+    from snakeslam_tpu.map.slam_map import FrameData, SlamMap
+    from snakeslam_tpu.system.settings import Settings
+
+    s = Settings()
+    s.enable_imu = True
+    smap = SlamMap(max_keyframes=16, max_points=64, max_features=8)
+    sol = ImuStateSolver(s, smap)
+
+    rate = 100.0
+    dt_kf = 0.5
+    kfs = []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        n = 4
+        fd = FrameData(
+            frame_id=i * 10, timestamp=i * dt_kf,
+            uv=np.zeros((n, 2)), octave=np.zeros(n, np.int32),
+            angle=np.zeros(n), descriptors=np.zeros((n, 32), np.uint8),
+            right=np.full(n, -1.0), depth=np.full(n, -1.0),
+        )
+        fd.pose_cw = np.eye(4)
+        k = smap.allocate_keyframe(fd)
+        if kfs:
+            smap.kf_prev[k] = kfs[-1]
+            smap.kf_next[kfs[-1]] = k
+            ns = int(dt_kf * rate)
+            fd.imu_omega = rng.normal(0, 0.01, (ns, 3))
+            fd.imu_acc = rng.normal(0, 0.01, (ns, 3)) + [0, 0, 9.81]
+            fd.imu_dt = np.full(ns, 1.0 / rate)
+            fd.imu_t = (i - 1) * dt_kf + np.arange(ns) / rate
+            sol.add_frame_samples(fd)
+            sol.process_new_keyframe(k, kfs[-1])
+        kfs.append(k)
+
+    chain = sol._chain_keyframes()
+    assert len(chain) == 3
+    # cull the middle keyframe (kfs[1]); its edge must merge into kfs[2]'s
+    smap.erase_keyframe(kfs[1])
+    chain = sol._chain_keyframes()
+    assert len(chain) == 2, f"chain broke after cull: {chain}"
+    (i0, j0, e0), (i1, j1, e1) = chain
+    assert (i0, j0) == (kfs[0], kfs[2])
+    assert (i1, j1) == (kfs[2], kfs[3])
+    # the merged edge spans both original intervals
+    assert abs(float(e0.preint.dt) - 2 * dt_kf) < 0.02
+    assert len(e0.omega) == 2 * int(dt_kf * rate)
+    # and the suffix is the whole chain (no truncation)
+    assert sol._connected_suffix(chain) == chain
