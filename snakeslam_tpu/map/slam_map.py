@@ -590,6 +590,16 @@ class SlamMap:
             m = self._device_mirror = DeviceMapMirror(self)
         return m
 
+    def kf_feature_pool(self, n_slots: int):
+        """Shared device-resident keyframe feature pool (lazily created):
+        triangulation, fusion, and loop verification gather keyframe rows
+        by slot index inside their jitted programs (see map/kf_pool.py)."""
+        p = getattr(self, "_kf_feature_pool", None)
+        if p is None or p.n_slots != n_slots:
+            from snakeslam_tpu.map.kf_pool import KFFeaturePool
+            p = self._kf_feature_pool = KFFeaturePool(self, n_slots)
+        return p
+
     def validate(self) -> list[str]:
         """Full map consistency check (Map::valid analog, reference:
         Snake/Map/Map.cpp:504+, behind CHECK_VALID_MAP).  Returns a list of

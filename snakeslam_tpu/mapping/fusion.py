@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.core.pyramid import ScalePyramid
+from snakeslam_tpu.map.kf_pool import pool_features
 from snakeslam_tpu.map.slam_map import SlamMap
 from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
@@ -41,13 +42,20 @@ def _fuse_search_single(lm, feats, pose, cam, bf, bounds, scales,
     return out["feat_point"]
 
 
+FUSE_NB = 16  # fixed forward fan-out width (n_neighbors=15 + pad): one
+              # compiled program regardless of covisible count
+
+
 @functools.partial(jax.jit, static_argnames=("levels",))
-def _fuse_search_batch(lm, feats_stack, poses, cam, bf, bounds, scales,
-                       log_sf, levels: int):
-    """vmapped projection search: one device call for all target keyframes."""
+def _fuse_pool_batch(pool_arrays, nb_slots, lm, poses, cam, bf, bounds,
+                     scales, log_sf, levels: int):
+    """vmapped projection search over keyframe-pool rows: one device call
+    for all target keyframes, with the neighbor feature gather fused into
+    the program (map/kf_pool.py — no eager stacks, no re-uploads)."""
     st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
 
-    def one(feats, pose):
+    def one(slot, pose):
+        feats = pool_features(pool_arrays, slot)
         out = M.search_by_projection_fine(
             lm, feats, pose, cam, bf,
             (bounds[0], bounds[1], bounds[2], bounds[3]), st,
@@ -55,7 +63,22 @@ def _fuse_search_batch(lm, feats_stack, poses, cam, bf, bounds, scales,
         )
         return out["feat_point"]
 
-    return jax.vmap(one)(feats_stack, poses)
+    return jax.vmap(one)(nb_slots, poses)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _fuse_pool_single(pool_arrays, slot, lm, pose, cam, bf, bounds,
+                      scales, log_sf, levels: int):
+    """Backward fuse pass against one pool row (neighbor points into the
+    new keyframe)."""
+    st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+    feats = pool_features(pool_arrays, slot)
+    out = M.search_by_projection_fine(
+        lm, feats, pose, cam, bf,
+        (bounds[0], bounds[1], bounds[2], bounds[3]), st,
+        feat_free=feats.valid, th=1.0, ratio=0.9,
+    )
+    return out["feat_point"]
 
 
 class MapSearcher:
@@ -144,28 +167,24 @@ class MapSearcher:
         Returns ([device arrays], ctx) or None."""
         smap = self.map
         ids, w = smap.covisible_keyframes(kf, min_weight=1)
-        neighbors = [int(k) for k in ids[:n_neighbors]]
+        neighbors = [int(k) for k in ids[:min(n_neighbors, FUSE_NB)]]
         if not neighbors:
             return None
-        # bucket the vmap width so compute follows the actual neighbor count
-        n_neighbors = 1
-        while n_neighbors < len(neighbors):
-            n_neighbors *= 2
-        fused = 0
         mirror = smap.device_mirror()
+        pool = smap.kf_feature_pool(self.s.feature_slots)
         kf_pts = smap.keyframe_points(kf)
         # forward: this KF's points into ALL neighbors in ONE vmapped call,
-        # padded to the fixed n_neighbors so exactly one program compiles
+        # padded to the fixed FUSE_NB width so exactly one program ever
+        # compiles (pad-row results are never committed)
         fp_fwd = ids_f = None
         if len(kf_pts):
-            padded = neighbors + [neighbors[-1]] * (n_neighbors - len(neighbors))
+            padded = neighbors + [neighbors[-1]] * (FUSE_NB - len(neighbors))
             lm_f, ids_f = mirror.gather(kf_pts, self.s.local_map_slots)
-            feats = [kf_features_cached(smap, nb, self.s.feature_slots)
-                     for nb in padded]
-            feats_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+            nb_slots = pool.slots_for(padded)
             poses = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
-            fp_fwd = _fuse_search_batch(
-                lm_f, feats_stack, poses, self.cam, self.bf,
+            fp_fwd = _fuse_pool_batch(
+                pool.arrays, jnp.asarray(nb_slots), lm_f, poses,
+                self.cam, self.bf,
                 jnp.asarray(self.bounds, dtype=jnp.float32),
                 self.scales, self.log_sf, int(self.scales.shape[0]),
             )
@@ -177,9 +196,9 @@ class MapSearcher:
         fp_bwd = ids_b = None
         if len(nb_pts):
             lm_b, ids_b = mirror.gather(nb_pts, self.s.local_map_slots)
-            feats_kf = kf_features_cached(smap, kf, self.s.feature_slots)
-            fp_bwd = _fuse_search_single(
-                lm_b, feats_kf,
+            kf_slot = pool.slots_for([kf])[0]
+            fp_bwd = _fuse_pool_single(
+                pool.arrays, jnp.int32(kf_slot), lm_b,
                 jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
                 self.cam, self.bf,
                 jnp.asarray(self.bounds, dtype=jnp.float32),

@@ -24,21 +24,31 @@ import functools
 
 import jax
 
+from snakeslam_tpu.map.kf_pool import pool_features
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
 from snakeslam_tpu.utils.fetch import fetch_list, fetch_np
 
 
+TRI_NB = 10  # fixed neighbor fan-out width (LocalMapping.cpp:317-329);
+             # a single compiled program regardless of covisible count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("feature_distance", "epipolar_distance", "error_mono"),
 )
-def _triangulate_batch(feats_a, feats_b, free_a, free_b, T_a, T_b, cam, bf,
-                       scales, inv_sigma2, feature_distance: int,
-                       epipolar_distance: float, error_mono: float):
-    """Jitted vmapped pair triangulation: one compiled program for all
-    neighbor pairs (an eager jax.vmap would re-trace per keyframe)."""
+def _triangulate_pool(pool_arrays, a_slot, b_slots, free_a, free_b,
+                      T_a, T_b, cam, bf, scales, inv_sigma2,
+                      feature_distance: int, epipolar_distance: float,
+                      error_mono: float):
+    """Jitted vmapped pair triangulation over keyframe-pool rows: the
+    keyframe feature tables live in HBM (map/kf_pool.py); only slot
+    indices, free masks, and poses cross the tunnel per dispatch, and the
+    neighbor gather fuses into the one compiled program."""
+    feats_a = pool_features(pool_arrays, a_slot)
+    feats_b = jax.vmap(lambda s: pool_features(pool_arrays, s))(b_slots)
     fn = functools.partial(
         triangulate_pair,
         feature_distance=feature_distance,
@@ -299,38 +309,33 @@ class LocalMapper:
         """Async half of triangulation: stage + dispatch, no blocking."""
         smap = self.map
         ids, w = smap.covisible_keyframes(kf, min_weight=15)
-        neighbors = ids[:num_neighbors]
+        neighbors = ids[:min(num_neighbors, TRI_NB)]
         if len(neighbors) == 0:
             return None
-        # bucket the vmap width (1/2/4/8/...): compute scales with the
-        # actual covisible-neighbor count, one compiled program per bucket
-        num_neighbors = 1
-        while num_neighbors < len(neighbors):
-            num_neighbors *= 2
         n_slots = self.s.feature_slots
-        feats_a = kf_features_cached(smap, kf, n_slots)
         free_a = np.zeros(n_slots, dtype=bool)
         na = int(smap.kf_n_feat[kf])
         free_a[:na] = smap.kf_obs[kf, :na] < 0
-        T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
 
         # one vmapped device call over all neighbor pairs (the reference
         # OMP-parallelizes per pair, Triangulator.cpp:42-47).  The batch is
-        # padded to the fixed num_neighbors so exactly one program compiles;
-        # pad rows get free_b = all-False (no candidates).
+        # padded to the fixed TRI_NB width so exactly one program ever
+        # compiles; pad rows get free_b = all-False (no candidates).
         n_actual = len(neighbors)
-        padded = list(neighbors) + [neighbors[-1]] * (num_neighbors - n_actual)
-        feats_b = [kf_features_cached(smap, int(nb), n_slots)
-                   for nb in padded]
-        feats_b = jax.tree.map(lambda *xs: jnp.stack(xs), *feats_b)
-        free_b = np.zeros((num_neighbors, n_slots), dtype=bool)
+        padded = list(int(n) for n in neighbors)
+        padded += [padded[-1]] * (TRI_NB - n_actual)
+        pool = smap.kf_feature_pool(n_slots)
+        slots = pool.slots_for([kf] + padded)
+        free_b = np.zeros((TRI_NB, n_slots), dtype=bool)
         for i, nb in enumerate(neighbors):
             nbn = int(smap.kf_n_feat[nb])
             free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
+        T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
         T_b = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
 
-        out = _triangulate_batch(
-            feats_a, feats_b, jnp.asarray(free_a), jnp.asarray(free_b),
+        out = _triangulate_pool(
+            pool.arrays, jnp.int32(slots[0]), jnp.asarray(slots[1:]),
+            jnp.asarray(free_a), jnp.asarray(free_b),
             T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,

@@ -87,8 +87,11 @@ class LocalBA:
         # bucket the point-slot padding (powers of two up to the configured
         # cap): the solve is jit-cached per bucket, and transfer + compute
         # scale with the bucket size, not the worst case
+        # floor at slots/4 so the bucket ladder has at most 3 rungs: mid-run
+        # bucket growth recompiles the whole solve, which costs far more
+        # than the extra padded rows on an MXU-batched problem
         P = self.s.lba_point_slots
-        p_bucket = max(1024, self.s.lba_point_slots // 8)
+        p_bucket = max(1024, self.s.lba_point_slots // 4)
         while p_bucket < len(pts):
             p_bucket *= 2
         P = min(p_bucket, self.s.lba_point_slots)
