@@ -1,0 +1,142 @@
+"""Profile the windowed pipeline: per-phase wall time breakdown."""
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("BENCH_FRAMES", "400")
+
+from snakeslam_tpu.frontend.synthetic_source import (
+    apply_world_to_settings,
+    synthetic_frames,
+)
+from snakeslam_tpu.system.settings import InputType, Settings
+from snakeslam_tpu.system.slam import SlamSystem
+from snakeslam_tpu.tracking.windowed import WindowedRunner
+from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
+
+
+def build(seed, count, async_mode=True):
+    settings = Settings()
+    settings.input_type = InputType.Stereo
+    settings.enable_imu = False
+    settings.async_mode = async_mode
+    settings.feature_slots = 1024
+    settings.local_map_slots = 4096
+    settings.lba_cam_slots = 32
+    settings.lba_point_slots = 8192
+    settings.lba_obs_slots = 8
+    settings.th_depth = 25.0
+    world = SyntheticWorld(n_points=6000, seed=seed)
+    apply_world_to_settings(world, settings)
+    system = SlamSystem(settings)
+    frames = list(synthetic_frames(
+        world, orbit_trajectory(count, radius=7.0, arc=1.2 * count / 400.0,
+                                fps=200.0),
+        settings, noise_px=0.3,
+    ))
+    return system, frames
+
+
+def main():
+    W = int(os.environ.get("BENCH_WINDOW", 64))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 400))
+
+    t0 = time.perf_counter()
+    system, frames = build(123, 48)
+    for f in frames:
+        f.timestamp = f.frame_id / 10.0
+    print(f"build+frames: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    WindowedRunner(system, window=W).run(frames)
+    print(f"warmup run: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # instrumented timed run
+    system, frames = build(7, n_frames)
+    runner = WindowedRunner(system, window=W)
+
+    orig_dispatch = runner._dispatch
+    orig_fetch_cls = type(runner)
+    times = {"dispatch": 0.0, "fetch": 0.0, "consume": 0.0, "other": 0.0}
+    counts = {"dispatch": 0, "fetch": 0}
+
+    def timed_dispatch(*a, **kw):
+        t = time.perf_counter()
+        r = orig_dispatch(*a, **kw)
+        times["dispatch"] += time.perf_counter() - t
+        counts["dispatch"] += 1
+        return r
+
+    runner._dispatch = timed_dispatch
+
+    orig_consume = runner._consume
+
+    for name in ("_drain", "_local_map", "_initial_dec_state", "_idle"):
+        times[name] = 0.0
+        counts[name] = 0
+
+        def _mk(nm, orig):
+            def f(*a, **kw):
+                t = time.perf_counter()
+                r = orig(*a, **kw)
+                times[nm] += time.perf_counter() - t
+                counts[nm] += 1
+                return r
+            return f
+
+        setattr(runner, name, _mk(name, getattr(runner, name)))
+
+    lm = system.tracker.local_mapper
+    times["flush_deferred"] = 0.0
+    counts["flush_deferred"] = 0
+    orig_fd = lm.flush_deferred
+
+    def timed_fd(*a, **kw):
+        t = time.perf_counter()
+        r = orig_fd(*a, **kw)
+        times["flush_deferred"] += time.perf_counter() - t
+        counts["flush_deferred"] += 1
+        return r
+
+    lm.flush_deferred = timed_fd
+
+    def timed_consume(*a, **kw):
+        t = time.perf_counter()
+        r = orig_consume(*a, **kw)
+        times["consume"] += time.perf_counter() - t
+        return r
+
+    runner._consume = timed_consume
+
+    import snakeslam_tpu.tracking.windowed as WMOD
+    orig_f = WMOD._InFlight.fetch
+
+    def timed_f(self):
+        t = time.perf_counter()
+        r = orig_f(self)
+        times["fetch"] += time.perf_counter() - t
+        counts["fetch"] += 1
+        return r
+
+    WMOD._InFlight.fetch = timed_f
+
+    t0 = time.perf_counter()
+    runner.run(frames)
+    wall = time.perf_counter() - t0
+    n_tracked = len(system.tracker.trajectory)
+    print(f"timed run: {wall:.2f}s  tracked={n_tracked} "
+          f"fps={n_tracked/wall:.1f}", flush=True)
+    print(f"  dispatch: {times['dispatch']:.2f}s ({counts['dispatch']}x)")
+    print(f"  fetch:    {times['fetch']:.2f}s ({counts['fetch']}x)")
+    print(f"  consume:  {times['consume']:.2f}s")
+    for name in ("_drain", "_local_map", "_initial_dec_state", "_idle",
+                 "flush_deferred"):
+        print(f"  {name}: {times[name]:.2f}s ({counts[name]}x)")
+    print(f"  unattributed: "
+          f"{wall - times['dispatch'] - times['fetch'] - times['consume'] - times['_drain'] - times['_local_map'] - times['_initial_dec_state']:.2f}s")
+    print(f"  device_calls={runner.n_device_calls} "
+          f"kf={system.map.n_keyframes} pts={system.map.n_points}")
+
+
+if __name__ == "__main__":
+    main()

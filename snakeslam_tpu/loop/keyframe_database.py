@@ -34,10 +34,8 @@ class KeyframeDatabase:
 
     def add(self, kf: int):
         n = int(self.map.kf_n_feat[kf])
-        bits = np.unpackbits(
-            self.map.kf_feat_desc[kf, :n], axis=1, bitorder="little"
-        ).astype(np.int8)
-        words, v = self.compute_frame_vector(bits)
+        words, v = BOW.transform_packed_np(
+            self.voc, self.map.kf_feat_desc[kf, :n])
         self.vectors[kf] = v
         self.words[kf] = words
         self.present[kf] = True

@@ -148,20 +148,24 @@ class LocalMapper:
             self.imu_solver.process_new_keyframe(kf, int(self.map.kf_prev[kf]))
 
     def process_deferred(self, kf: int, frame: FrameData):
+        token = self.dispatch_deferred(kf)
+        self.commit_deferred(token)
+
+    def dispatch_deferred(self, kf: int) -> dict:
+        """Async half of the per-keyframe back-end cycle: triangulation,
+        bidirectional neighbor fusion (MapSearcher, LocalMapping.cpp:70-80),
+        and the local BA dispatch back-to-back against the same pre-commit
+        snapshot (points triangulated this round are re-fused by the
+        deferred mapper's MapSearch pass, DeferredMapper.cpp:167-178; the
+        one-keyframe LBA lag matches the reference's async LBA which reads
+        whatever map state its worker thread sees).  Returns a token for
+        commit_deferred; the caller may keep tracking on the current
+        snapshot while the device works — the reference's async deployment
+        mode (README.md:61-65) expressed as a device pipeline."""
         self._cull_recent_points(kf)
-        # triangulation and bidirectional neighbor fusion (MapSearcher,
-        # LocalMapping.cpp:70-80) dispatch back-to-back and share ONE
-        # blocking readback: both search the pre-commit snapshot (points
-        # triangulated this round are re-fused by the deferred mapper's
-        # MapSearch pass, DeferredMapper.cpp:167-178), halving the tunnel
-        # round trips per keyframe
         tri = self._tri_dispatch(kf)
         fuse = (self.map_searcher.dispatch(kf)
                 if self.map_searcher is not None else None)
-        # the local BA solves against the same pre-commit snapshot (a
-        # one-keyframe lag, matching the reference's async LBA which reads
-        # whatever map state its worker thread sees); its per-element
-        # commit guards handle observations rewired by the fuse commit
         ba = self.lba.dispatch(kf) if self.lba is not None else None
         arrays = []
         if tri is not None:
@@ -170,7 +174,22 @@ class LocalMapper:
             arrays += fuse[0]
         if ba is not None:
             arrays += ba[0]
-        fetched = fetch_list(arrays)
+        for a in arrays:
+            a.copy_to_host_async()
+        return dict(kf=kf, tri=tri, fuse=fuse, ba=ba, arrays=arrays)
+
+    def deferred_ready(self, token: dict) -> bool:
+        """True when every device array of a dispatched cycle has landed
+        (commit_deferred will not block)."""
+        return all(a.is_ready() for a in token["arrays"])
+
+    def commit_deferred(self, token: dict):
+        """Blocking half: one batched readback, then host commits."""
+        kf = token["kf"]
+        if not self.map.kf_valid[kf]:
+            return
+        tri, fuse, ba = token["tri"], token["fuse"], token["ba"]
+        fetched = fetch_list(token["arrays"])
         if tri is not None:
             self._tri_commit(kf, fetched[0], fetched[1],
                              fetched[2].astype(np.float64), tri[1])
@@ -191,30 +210,34 @@ class LocalMapper:
 
     def _associate_observations(self, kf: int, frame: FrameData):
         """ProcessNewKeyFrame association + descriptor-distance dedup
-        (LocalMapping.cpp:160-217)."""
+        (LocalMapping.cpp:160-217), vectorized: dead-point drop, duplicate
+        arbitration (two features matched to one point keep the closer
+        descriptor), then one bulk observation insert."""
         smap = self.map
-        for i in np.nonzero(frame.matches >= 0)[0]:
-            pt = int(frame.matches[i])
-            if not smap.pt_valid[pt]:
-                frame.matches[i] = -1
-                continue
-            # existing link of this point to this KF at another feature?
-            sel = smap.pt_obs_kf[pt] == kf
-            if sel.any():
-                old_feat = int(smap.pt_obs_feat[pt, np.nonzero(sel)[0][0]])
-                if old_feat == i:
-                    continue
-                d_new = hamming_np(smap.pt_desc[pt][None],
-                                   frame.descriptors[i][None])[0, 0]
-                d_old = hamming_np(smap.pt_desc[pt][None],
-                                   smap.kf_feat_desc[kf, old_feat][None])[0, 0]
-                if d_new < d_old:
-                    smap.remove_observation(kf, old_feat)
-                    smap.add_observation(kf, int(i), pt)
-                else:
-                    frame.matches[i] = -1
-            else:
-                smap.add_observation(kf, int(i), pt)
+        idx = np.nonzero(frame.matches >= 0)[0]
+        if len(idx) == 0:
+            return
+        pts = frame.matches[idx].astype(np.int64)
+        dead = ~smap.pt_valid[pts]
+        if dead.any():
+            frame.matches[idx[dead]] = -1
+            idx, pts = idx[~dead], pts[~dead]
+            if len(idx) == 0:
+                return
+        uniq, counts = np.unique(pts, return_counts=True)
+        if (counts > 1).any():
+            keep = np.ones(len(idx), dtype=bool)
+            for p in uniq[counts > 1]:
+                cand = np.nonzero(pts == p)[0]
+                d = hamming_np(smap.pt_desc[p][None],
+                               frame.descriptors[idx[cand]])[0]
+                lose = cand[cand != cand[int(d.argmin())]]
+                keep[lose] = False
+                frame.matches[idx[lose]] = -1
+            idx, pts = idx[keep], pts[keep]
+        ok = smap.add_observations_bulk(kf, idx, pts)
+        if not ok.all():
+            frame.matches[idx[~ok]] = -1  # observation slot overflow
 
     def _insert_stereo_points(self, kf: int, frame: FrameData):
         """Create map points for unmatched depth features, fully vectorized

@@ -48,18 +48,20 @@ class SlamSystem:
         from snakeslam_tpu.optim.gba import GlobalBA
 
         voc_path = Path(settings.voc_file)
+        if not voc_path.exists():
+            # shipped default: trained on ORB descriptors extracted from
+            # rendered synthetic scenes (scripts/train_vocab.py) — real
+            # descriptor statistics, the analog of the reference's ORBvoc
+            # load (System.cpp:44)
+            shipped = (Path(__file__).resolve().parent.parent / "data"
+                       / "orbvoc_synth.npz")
+            if shipped.exists():
+                voc_path = shipped
         if voc_path.exists() and voc_path.suffix == ".npz":
-            self.vocabulary = BOW.load_vocabulary(voc_path)
+            self.vocabulary = BOW.load_vocabulary_cached(voc_path)
         else:
-            import numpy as _np
-
-            rng = _np.random.default_rng(settings.random_seed + 1)
-            # vocabulary must be much larger than the per-frame feature count
-            # or BoW histograms saturate (k=10, L=4 -> 10k words; the
-            # reference's ORBvoc uses k=10, L=6)
-            train = rng.integers(0, 2, size=(30000, 256)).astype(_np.int8)
-            self.vocabulary = BOW.train_vocabulary(train, k=10, levels=4,
-                                                   seed=settings.random_seed)
+            self.vocabulary = BOW.random_vocabulary_cached(
+                settings.random_seed)
         self.database = KeyframeDatabase(self.vocabulary, self.map)
         self.loop_closing = LoopClosing(
             settings, self.map, self.database,

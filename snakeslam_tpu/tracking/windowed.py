@@ -78,6 +78,13 @@ class _InFlight:
         return (np.asarray(self.outs), np.asarray(self.assign),
                 np.asarray(self.vis), np.asarray(self.fnd))
 
+    def ready(self) -> bool:
+        """All result arrays have landed host-side: fetch() will not pay a
+        device round trip."""
+        return self.copied and all(
+            a.is_ready() for a in (self.outs, self.assign, self.vis, self.fnd)
+        )
+
 
 class WindowedRunner:
     def __init__(self, system, window: int = 16, two_stage: bool = True,
@@ -99,6 +106,7 @@ class WindowedRunner:
         self.async_backends = async_backends
         self._pool = None
         self._pending = []
+        self._backend_token = None
         if async_backends:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -113,13 +121,58 @@ class WindowedRunner:
         self._pending.append(self._pool.submit(fn, *args))
         return None
 
+    # -- inline-mode back-end pipeline -----------------------------------
+    # One keyframe cycle (triangulation + fusion + LBA) in flight at a
+    # time: dispatch against the pre-commit snapshot, keep consuming scan
+    # windows while the device works, commit when the results land.  The
+    # async worker thread does the same by blocking off-thread; inline we
+    # poll is_ready() so the main loop never stalls (and stays
+    # bit-deterministic: dispatch/commit order is a pure function of the
+    # input sequence).
+
+    def _dispatch_backend_cycles(self):
+        t = self.tracker
+        lm = t.local_mapper
+        while lm._deferred:
+            kf, frame = lm._deferred.pop(0)
+            if not t.map.kf_valid[kf]:
+                continue
+            # the previous cycle's commit must land before this dispatch
+            # reads the map
+            self._commit_backend()
+            self._backend_token = lm.dispatch_deferred(kf)
+            if self.imu_solver is not None:
+                # visual-inertial: the commit can move the whole map (VI
+                # init stages apply gravity/scale transforms) — it must
+                # land before any later window is consumed, so the cycle
+                # stays synchronous (the reference's IMU solver also runs
+                # on the mapping thread, ImuStateSolver.cpp)
+                self._commit_backend()
+
+    def _commit_backend(self, only_if_ready: bool = False) -> bool:
+        tok = getattr(self, "_backend_token", None)
+        if tok is None:
+            return False
+        lm = self.tracker.local_mapper
+        if only_if_ready and not lm.deferred_ready(tok):
+            return False
+        self._backend_token = None
+        lm.commit_deferred(tok)
+        return True
+
     def _drain(self):
         """Wait until all queued map work has completed."""
         pending, self._pending = self._pending, []
         for f in pending:
             f.result()
+        self._commit_backend()
 
     def _idle(self) -> bool:
+        """True once all back-end work has completed AND its results are in
+        the map (committing a ready inline cycle on the way)."""
+        if self._pool is None:
+            self._commit_backend(only_if_ready=True)
+            return getattr(self, "_backend_token", None) is None
         if not self._pending:
             return True
         if all(f.done() for f in self._pending):
@@ -279,8 +332,13 @@ class WindowedRunner:
 
         def top_up():
             nonlocal next_i, carry
+            # while an inline back-end cycle is in flight, already-dispatched
+            # windows keep the device busy but NO new windows launch on the
+            # stale snapshot — the same staleness bound as the blocking
+            # flush had, without the host stall
             while (not stop_dispatch and next_i < n
-                   and len(inflight) < self.depth):
+                   and len(inflight) < self.depth
+                   and self._backend_token is None):
                 item, carry = self._dispatch(
                     frames, next_i, W, lm, lm_ids, carry, scal)
                 next_i += len(item.batch)
@@ -297,25 +355,41 @@ class WindowedRunner:
             for nxt in inflight[:2]:
                 nxt.start_copy()
             try:
-                outs, assign, vis, fnd = item.fetch()
+                group = [(item, item.fetch())]
+                # opportunistic batching: while blocked on the fetch above,
+                # later windows' async copies often landed too — consuming
+                # them now costs zero extra round trips
+                while inflight and inflight[0].ready():
+                    nxt = inflight.pop(0)
+                    group.append((nxt, nxt.fetch()))
             except jax.errors.JaxRuntimeError:
                 # transient tunnel failure: drop everything in flight and
                 # resume from the per-frame path at this window's start
                 inflight.clear()
                 failed_at = item.start
                 break
-            got_kf = self._consume(item, outs, assign, vis, fnd)
+            got_kf = None
+            for it, (outs, assign, vis, fnd) in group:
+                r = self._consume(it, outs, assign, vis, fnd)
+                if r is not None and r is not True and r < 0:
+                    got_kf = r
+                    break
+                consumed_to = it.start + len(it.batch)
+                if r:
+                    got_kf = True
             if got_kf is not None and got_kf is not True and got_kf < 0:
                 # tracking failed inside this window at frame -(got_kf+1)
                 failed_at = -(got_kf + 1)
                 inflight.clear()
                 break
-            consumed_to = item.start + len(item.batch)
             if got_kf:
-                # run the mapping back-ends: inline in deterministic mode,
+                # run the mapping back-ends: pipelined dispatch inline,
                 # queued on the worker thread in async mode — either way
-                # their round trips overlap the in-flight windows
-                self._submit(t.local_mapper.flush_deferred)
+                # their device time overlaps the in-flight windows
+                if self._pool is None:
+                    self._dispatch_backend_cycles()
+                else:
+                    self._submit(t.local_mapper.flush_deferred)
                 refresh_due = True
             if refresh_due and self._idle():
                 refresh_due = False

@@ -119,6 +119,19 @@ def test_vocabulary_transform_and_score(rng):
     assert s_cross < s_mix < 1.0
 
 
+def test_transform_packed_matches_unpacked(rng):
+    """The packed XOR+popcount descent must agree exactly with the float
+    einsum descent (same tree walk, same word ids, same vector)."""
+    train = rng.integers(0, 2, size=(4000, 256)).astype(np.int8)
+    voc = BOW.train_vocabulary(train, k=8, levels=3, seed=1)
+    bits = rng.integers(0, 2, size=(300, 256)).astype(np.int8)
+    packed = np.packbits(bits.astype(np.uint8), axis=-1, bitorder="little")
+    w_ref, v_ref = BOW.transform_np(voc, bits)
+    w_pk, v_pk = BOW.transform_packed_np(voc, packed)
+    np.testing.assert_array_equal(w_ref, w_pk)
+    np.testing.assert_allclose(v_ref, v_pk, rtol=1e-12)
+
+
 def test_vocabulary_save_load(tmp_path, rng):
     train = rng.integers(0, 2, size=(1000, 256)).astype(np.int8)
     voc = BOW.train_vocabulary(train, k=5, levels=2)
