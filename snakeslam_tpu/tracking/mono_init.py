@@ -43,16 +43,35 @@ class MonoInitSettings:
     search_radius_px: float = 50.0
     target_scale: float = 3.0
     ransac_threshold_px: float = 1.7
+    # feature-coverage gates (MonoInitializer.h:69-89): fraction of 48x48-px
+    # image bins that must contain features
+    min_histogram_density: float = 0.3
 
     @staticmethod
     def for_quality(q: int) -> "MonoInitSettings":
         if q <= 0:
             return MonoInitSettings(min_matches=60, min_inliers=50,
-                                    min_median_angle_deg=0.5)
+                                    min_median_angle_deg=0.5,
+                                    min_histogram_density=0.3)
         if q >= 2:
             return MonoInitSettings(min_matches=150, min_inliers=120,
-                                    min_median_angle_deg=1.2)
+                                    min_median_angle_deg=1.2,
+                                    min_histogram_density=0.5)
         return MonoInitSettings()
+
+
+def feature_histogram_density(uv: np.ndarray, width: int, height: int,
+                              bin_px: int = 48) -> float:
+    """Fraction of bin_px x bin_px image bins containing >= 1 feature
+    (featureHistogram, MonoInitializer.cpp:395-412)."""
+    bw = max(width // bin_px, 1)
+    bh = max(height // bin_px, 1)
+    if len(uv) == 0:
+        return 0.0
+    bx = np.clip((uv[:, 0] * bw / width).astype(np.int64), 0, bw - 1)
+    by = np.clip((uv[:, 1] * bh / height).astype(np.int64), 0, bh - 1)
+    occupied = len(np.unique(by * bw + bx))
+    return occupied / float(bw * bh)
 
 
 class MonoInitializer:
@@ -89,6 +108,14 @@ class MonoInitializer:
 
     def try_initialize(self, tracker, frame: FrameData) -> bool:
         if self.ref_frame is None:
+            # first-frame selection: reject texture-poor frames whose
+            # features cover too few image bins (selectFirstFrame,
+            # MonoInitializer.cpp:469-514 — the reference skip-searches its
+            # frame buffer; streaming, we test each arriving frame)
+            density = feature_histogram_density(
+                frame.uv[: frame.n], self.s.width, self.s.height)
+            if density <= self.cfg.min_histogram_density:
+                return False
             self.ref_frame = frame
             return False
         f1, f2 = self.ref_frame, frame
@@ -97,9 +124,11 @@ class MonoInitializer:
 
         i1, i2 = self._guided_match(f1, f2)
         if len(i1) < cfg.min_matches:
-            # scene changed too much: restart from the current frame
+            # scene changed too much: restart from the current frame (if it
+            # passes the same coverage gate as any first frame)
             if len(i1) < cfg.min_matches // 2:
-                self.ref_frame = frame
+                self.ref_frame = None
+                return self.try_initialize(tracker, frame)
             return False
 
         flow = np.linalg.norm(f1.uv[i1] - f2.uv[i2], axis=1)
@@ -157,6 +186,17 @@ class MonoInitializer:
         # ---- two-view BA refinement ----
         T2, X, good = self._two_view_ba(xn1, xn2, T2, X, good, s)
         if good.sum() < cfg.min_inliers:
+            return False
+
+        # inlier-coverage degeneracy gate (checkHistogram,
+        # MonoInitializer.cpp:413-457, applied at :559-567): the surviving
+        # matches must cover enough of BOTH images, or the bootstrap
+        # geometry is dominated by one structure patch
+        binratio = min(
+            feature_histogram_density(f1.uv[i1[good]], s.width, s.height),
+            feature_histogram_density(f2.uv[i2[good]], s.width, s.height),
+        )
+        if binratio < cfg.min_histogram_density:
             return False
 
         # ---- median-depth normalization (target_scale = 3) ----

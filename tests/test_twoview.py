@@ -123,3 +123,42 @@ def test_parallax_cos(rng):
         parallax_cos(jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(pts))
     )
     assert (pc < 1.0).all() and (pc > 0.9).all()  # small baseline, far points
+
+
+def test_mono_init_first_frame_coverage_gate(rng):
+    """A texture-poor first frame (features clustered in one corner) is
+    rejected; a well-spread later frame becomes the bootstrap reference
+    (selectFirstFrame histogram-density rule, MonoInitializer.cpp:469-514)."""
+    from snakeslam_tpu.map.slam_map import FrameData
+    from snakeslam_tpu.system.settings import Settings
+    from snakeslam_tpu.tracking.mono_init import (
+        MonoInitializer,
+        feature_histogram_density,
+    )
+
+    s = Settings()
+
+    def mk(uv, fid):
+        n = len(uv)
+        f = FrameData(
+            frame_id=fid, timestamp=fid / 20.0, uv=uv,
+            octave=np.zeros(n, np.int32), angle=np.zeros(n),
+            descriptors=rng.integers(0, 256, (n, 32)).astype(np.uint8),
+            right=np.full(n, -1.0), depth=np.full(n, -1.0),
+        )
+        return f
+
+    # clustered: all features in a 60x60 px corner patch
+    uv_poor = rng.uniform(0, 60, size=(300, 2))
+    # spread: uniform over the full image
+    uv_good = rng.uniform((0, 0), (s.width, s.height), size=(300, 2))
+
+    assert feature_histogram_density(uv_poor, s.width, s.height) < 0.05
+    assert feature_histogram_density(uv_good, s.width, s.height) > 0.5
+
+    init = MonoInitializer(s)
+    assert init.try_initialize(None, mk(uv_poor, 0)) is False
+    assert init.ref_frame is None, "texture-poor frame accepted as reference"
+    assert init.try_initialize(None, mk(uv_good, 1)) is False
+    assert init.ref_frame is not None, "well-covered frame rejected"
+    assert init.ref_frame.frame_id == 1
