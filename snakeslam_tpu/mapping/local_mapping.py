@@ -25,6 +25,7 @@ import functools
 import jax
 
 from snakeslam_tpu.map.kf_pool import pool_features
+from snakeslam_tpu.ops.depth_grid import keyframe_depth_grid
 from snakeslam_tpu.ops.triangulate_pairs import triangulate_pair
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached, pad_frame_features
@@ -37,28 +38,31 @@ TRI_NB = 10  # fixed neighbor fan-out width (LocalMapping.cpp:317-329);
 
 @functools.partial(
     jax.jit,
-    static_argnames=("feature_distance", "epipolar_distance", "error_mono"),
+    static_argnames=("feature_distance", "epipolar_distance", "error_mono",
+                     "bounds_wh"),
 )
 def _triangulate_pool(pool_arrays, a_slot, b_slots, free_a, free_b,
-                      T_a, T_b, cam, bf, scales, inv_sigma2,
+                      T_a, T_b, cam, bf, scales, inv_sigma2, grid_a,
                       feature_distance: int, epipolar_distance: float,
-                      error_mono: float):
+                      error_mono: float, bounds_wh: tuple):
     """Jitted vmapped pair triangulation over keyframe-pool rows: the
     keyframe feature tables live in HBM (map/kf_pool.py); only slot
-    indices, free masks, and poses cross the tunnel per dispatch, and the
-    neighbor gather fuses into the one compiled program."""
+    indices, free masks, poses, and the small depth-completion grid cross
+    the tunnel per dispatch, and the neighbor gather fuses into the one
+    compiled program."""
     feats_a = pool_features(pool_arrays, a_slot)
     feats_b = jax.vmap(lambda s: pool_features(pool_arrays, s))(b_slots)
-    fn = functools.partial(
-        triangulate_pair,
-        feature_distance=feature_distance,
-        epipolar_distance=epipolar_distance,
-        error_mono=error_mono,
-    )
-    return jax.vmap(
-        fn, in_axes=(None, 0, None, 0, None, 0, None, None, None, None)
-    )(feats_a, feats_b, free_a, free_b, T_a, T_b, cam, bf, scales,
-      inv_sigma2)
+
+    def fn(fb, frb, Tb):
+        return triangulate_pair(
+            feats_a, fb, free_a, frb, T_a, Tb, cam, bf, scales, inv_sigma2,
+            feature_distance=feature_distance,
+            epipolar_distance=epipolar_distance,
+            error_mono=error_mono,
+            grid_a=grid_a, bounds_wh=bounds_wh,
+        )
+
+    return jax.vmap(fn)(feats_b, free_b, T_b)
 
 
 class LocalMapper:
@@ -355,14 +359,22 @@ class LocalMapper:
             free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
         T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
         T_b = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
+        # depth-completion grid: a depth prior per free feature lets the
+        # kernel retry epipolar-ambiguous matches in a projection window
+        # (ComputeDepthMap, Triangulator.cpp:296-373; the reference
+        # restricts the guided pass to the top-3 neighbors for CPU cost —
+        # all pairs get it here, it is mask arithmetic on the TPU)
+        grid = keyframe_depth_grid(smap, kf, self.s.width, self.s.height)
 
         out = _triangulate_pool(
             pool.arrays, jnp.int32(slots[0]), jnp.asarray(slots[1:]),
             jnp.asarray(free_a), jnp.asarray(free_b),
             T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
+            jnp.asarray(grid),
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
+            bounds_wh=(float(self.s.width), float(self.s.height)),
         )
         return out, dict(neighbors=neighbors, free_a=free_a)
 

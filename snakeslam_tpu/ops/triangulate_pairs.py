@@ -38,7 +38,8 @@ def _normalized(cam: Pinhole, uv):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("feature_distance", "epipolar_distance", "error_mono"),
+    static_argnames=("feature_distance", "epipolar_distance", "error_mono",
+                     "bounds_wh"),
 )
 def triangulate_pair(
     feats_a: FrameFeatures,
@@ -54,6 +55,8 @@ def triangulate_pair(
     feature_distance: int = FEATURE_DISTANCE,
     epipolar_distance: float = EPIPOLAR_DISTANCE,
     error_mono: float = ERROR_MONO,
+    grid_a: jax.Array | None = None,   # (GH, GW) depth grid for image a
+    bounds_wh: tuple = (752.0, 480.0),
 ):
     """Match unmatched features across one KF pair and triangulate.
 
@@ -91,14 +94,14 @@ def triangulate_pair(
     oct_ok = jnp.abs(
         feats_a.octave[:, None] - feats_b.octave[None, :]
     ) <= 1
-    cand = (
+    pair_ok = (
         (H <= feature_distance)
         & (epi_px2 <= epipolar_distance**2)
         & oct_ok
         & (free_a & feats_a.valid)[:, None]
         & (free_b & feats_b.valid)[None, :]
     )
-    Hm = jnp.where(cand, H, 256)
+    Hm = jnp.where(pair_ok, H, 256)
     best = jnp.min(Hm, axis=1)
     best_idx = jnp.argmin(Hm, axis=1).astype(jnp.int32)
     matched = best <= feature_distance
@@ -106,6 +109,39 @@ def triangulate_pair(
     # mutual best check (each b feature claimed once)
     rev_best = jnp.argmin(Hm, axis=0).astype(jnp.int32)
     matched = matched & (rev_best[best_idx] == jnp.arange(N))
+
+    if grid_a is not None:
+        # depth-guided second tier (SearchForTriangulationProject,
+        # MappingORBMatcher.cpp:168-250): features the epipolar-best pass
+        # left unmatched retry within a 20 px window around where the
+        # depth-completion grid predicts them in image b — the depth prior
+        # breaks repeated-texture ambiguity along the epipolar line.
+        GH, GW = grid_a.shape
+        gx = jnp.clip((feats_a.uv[:, 0] / bounds_wh[0] * GW)
+                      .astype(jnp.int32), 0, GW - 1)
+        gy = jnp.clip((feats_a.uv[:, 1] / bounds_wh[1] * GH)
+                      .astype(jnp.int32), 0, GH - 1)
+        z = grid_a[gy, gx]
+        has_z = z > 1e-6
+        # unproject feature a at grid depth, express in cam b, project
+        Pa = jnp.concatenate([xn_a * z[:, None], z[:, None]], axis=1)
+        Pb = lie.transform_points(lie.se3_inverse(T_ab), Pa)
+        zb_pred = jnp.maximum(Pb[:, 2], 1e-6)
+        uv_pred = jnp.stack(
+            [cam.fx * Pb[:, 0] / zb_pred + cam.cx,
+             cam.fy * Pb[:, 1] / zb_pred + cam.cy], axis=1)
+        win2 = jnp.sum(
+            (feats_b.uv[None, :, :] - uv_pred[:, None, :]) ** 2, axis=-1)
+        proj_ok = (win2 <= 20.0**2) & (has_z & (Pb[:, 2] > 0))[:, None]
+        # b features claimed by the first tier stay claimed
+        claimed = jnp.zeros(feats_b.uv.shape[0], dtype=bool
+                            ).at[best_idx].max(matched)
+        Hm2 = jnp.where(pair_ok & proj_ok & ~claimed[None, :], H, 256)
+        best2 = jnp.min(Hm2, axis=1)
+        best_idx2 = jnp.argmin(Hm2, axis=1).astype(jnp.int32)
+        matched2 = (~matched) & (best2 <= feature_distance)
+        best_idx = jnp.where(matched2, best_idx2, best_idx)
+        matched = matched | matched2
 
     xb = xn_b[best_idx]
     X = triangulate_homogeneous(
