@@ -104,6 +104,7 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     fps = n_tracked / wall
     rmse, scale, n = system.ate_against_gt(with_scale=False)
     return {
+        "orb_fps": _bench_orb(),
         "fps": fps,
         "n_tracked": n_tracked,
         "n_frames": n_frames,
@@ -113,6 +114,33 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
         "n_points": system.map.n_points,
         "device_calls": runner.n_device_calls,
     }
+
+
+def _bench_orb(n_frames: int = 30):
+    """Secondary metric: full ORB front-end frames/s on TPU (image ->
+    1024 features; Pallas FAST kernel on-TPU by default).  The tracking
+    bench replays extracted features (the reference's feature-cache mode,
+    FeatureDetector.cpp:94-139), so the image front-end gets its own
+    number here."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from snakeslam_tpu.ops.orb import extract_orb
+
+    try:
+        rng = np.random.default_rng(0)
+        imgs = [jnp.asarray(rng.uniform(0, 255, (480, 752))
+                            .astype(np.float32)) for _ in range(8)]
+        np.asarray(extract_orb(imgs[0], n_features=1024).uv)  # compile
+        t0 = time.perf_counter()
+        outs = [extract_orb(imgs[i % 8], n_features=1024).uv
+                for i in range(n_frames)]
+        np.asarray(outs[-1])
+        return round(n_frames / (time.perf_counter() - t0), 1)
+    except Exception:
+        return None
 
 
 def main():
@@ -143,6 +171,7 @@ def main():
             "tracked": res["n_tracked"],
             "keyframes": res["n_keyframes"],
             "points": res["n_points"],
+            "orb_fps": res.get("orb_fps"),
         },
     }
     print(json.dumps(out))

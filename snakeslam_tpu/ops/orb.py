@@ -247,14 +247,19 @@ def extract_orb(
     levels: int = 4,
     scale_factor: float = 1.2,
     threshold: float = 20.0,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Full ORB pipeline over an image pyramid.
 
     Args:
       image: (H, W) grayscale float32 in [0, 255].
+      use_pallas: FAST via the banded Pallas kernel (default: on when the
+        backend is a TPU — ~5x the XLA fast_score per level; see
+        ops/orb_pallas.py).
     Returns OrbFeatures with n_features slots (coords in level-0 pixels).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
     H, W = image.shape
     # per-level feature budget ~ geometric (like the reference's
     # distribution over octaves)

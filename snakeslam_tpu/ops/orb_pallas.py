@@ -1,11 +1,16 @@
 """Pallas TPU kernel for the FAST-16 corner score.
 
 The hottest stage of the ORB front-end (reference: the per-pixel segment
-test inside saiga's ORBExtractor/ORBExtractorGPU) as a single fused VMEM
-kernel: 16 ring reads, bright/dark arc masks, contiguous-9 bit test, and the
-SAD score — one pass over the image with no intermediate HBM traffic.  A
-VGA-class pyramid level (<= ~2 MB fp32) fits VMEM whole, so the kernel runs
-as one program and lets the VPU stream the elementwise work.
+test inside saiga's ORBExtractor/ORBExtractorGPU) as a fused VMEM kernel:
+16 ring reads, bright/dark arc masks, contiguous-9 bit test, and the SAD
+score — one pass with no intermediate HBM traffic.
+
+The image stays in HBM (``memory_space=ANY``); the grid walks row bands
+and each program DMAs its band plus a 4-row halo into a VMEM scratch
+buffer (the classic halo pattern — overlapping reads are not expressible
+with BlockSpec tiling).  A 64-row band of a 752-wide image plus its ~10
+full-band temporaries stays well under the 16 MB scoped-VMEM limit that
+the whole-image version blew through.
 
 Falls back to interpreter mode off-TPU (tests run it on CPU with
 interpret=True and compare bit-exactly against ops/orb.fast_score).
@@ -22,10 +27,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from snakeslam_tpu.ops.orb import FAST_RING
 
+BAND = 64        # rows per grid program
+HALO = 4         # >= FAST ring radius (3), even for sublane alignment
 
-def _fast_kernel(img_ref, score_ref, corner_ref, *, threshold: float):
-    img = img_ref[:]
-    H, W = img.shape
+
+def _fast_kernel(H: int, W: int, threshold: float,
+                 img_hbm, score_ref, corner_ref, scratch, sem):
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * BAND, BAND + 2 * HALO)], scratch, sem)
+    copy.start()
+    copy.wait()
+    img = scratch[...]
+    Hb, Wb = img.shape
 
     bits_b = jnp.zeros(img.shape, dtype=jnp.int32)
     bits_d = jnp.zeros(img.shape, dtype=jnp.int32)
@@ -33,9 +47,11 @@ def _fast_kernel(img_ref, score_ref, corner_ref, *, threshold: float):
     sum_d = jnp.zeros(img.shape, dtype=jnp.float32)
 
     for k, (dx, dy) in enumerate(FAST_RING):
-        # pltpu.roll requires non-negative shifts
-        sy = (-int(dy)) % H
-        sx = (-int(dx)) % W
+        # pltpu.roll requires non-negative shifts; ring values that wrap
+        # around the band edges only reach rows inside the halo, which the
+        # output slice discards
+        sy = (-int(dy)) % Hb
+        sx = (-int(dx)) % Wb
         ring = pltpu.roll(pltpu.roll(img, sy, 0), sx, 1)
         bright = ring > img + threshold
         dark = ring < img - threshold
@@ -52,13 +68,15 @@ def _fast_kernel(img_ref, score_ref, corner_ref, *, threshold: float):
         return (acc & 0xFFFF) != 0
 
     corner = arc9(bits_b) | arc9(bits_d)
-    yy = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0)
+    # border mask in GLOBAL image coordinates (W excludes lane padding)
+    yy = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) \
+        + i * BAND - HALO
     xx = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
     border = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
     corner = corner & border
     score = jnp.where(corner, jnp.maximum(sum_b, sum_d), 0.0)
-    score_ref[:] = score
-    corner_ref[:] = corner
+    score_ref[:] = score[HALO:HALO + BAND]
+    corner_ref[:] = corner[HALO:HALO + BAND]
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
@@ -68,17 +86,29 @@ def fast_score_pallas(img: jax.Array, threshold: float = 20.0,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     img = img.astype(jnp.float32)
+    H, W = img.shape
+    n_bands = -(-H // BAND)
+    Hp = n_bands * BAND + 2 * HALO
+    Wp = -(-W // 128) * 128      # lane-dim alignment
+    padded = jnp.zeros((Hp, Wp), dtype=jnp.float32)
+    padded = jax.lax.dynamic_update_slice(padded, img, (HALO, 0))
+
     score, corner = pl.pallas_call(
-        functools.partial(_fast_kernel, threshold=float(threshold)),
+        functools.partial(_fast_kernel, H, W, float(threshold)),
+        grid=(n_bands,),
         out_shape=(
-            jax.ShapeDtypeStruct(img.shape, jnp.float32),
-            jax.ShapeDtypeStruct(img.shape, jnp.bool_),
+            jax.ShapeDtypeStruct((n_bands * BAND, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_bands * BAND, Wp), jnp.bool_),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BAND, Wp), lambda i: (i, 0)),
+            pl.BlockSpec((BAND, Wp), lambda i: (i, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((BAND + 2 * HALO, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(img)
-    return score, corner
+    )(padded)
+    return score[:H, :W], corner[:H, :W]

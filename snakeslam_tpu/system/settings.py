@@ -67,6 +67,9 @@ class Settings:
     fd_threads: int = 2
     fd_buffer_to_file: bool = False
     fd_relaxed_stereo: bool = True
+    # FAST via the banded Pallas kernel (-1 = auto: on when the backend is
+    # a TPU; 0/1 force off/on) — see ops/orb_pallas.py
+    fd_use_pallas: int = -1
 
     # ====== Tracking (Settings.h:124-136) ======
     kfi_target_matches: int = 180
@@ -143,7 +146,8 @@ class Settings:
         "Input": ["input_type", "sensor_type", "voc_file"],
         "FeatureDetector": ["fd_features", "fd_scale_factor", "fd_levels",
                             "fd_ini_th_fast", "fd_min_th_fast", "fd_threads",
-                            "fd_buffer_to_file", "fd_relaxed_stereo"],
+                            "fd_buffer_to_file", "fd_relaxed_stereo",
+                            "fd_use_pallas"],
         "Tracking": ["kfi_target_matches", "th_map", "initialization_quality"],
         "IMU": ["enable_imu", "weight_gyro_initialization",
                 "weight_gyro_optimization", "weight_gyro_tracking",
