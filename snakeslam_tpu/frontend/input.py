@@ -77,5 +77,38 @@ class Input:
         return frame
 
     def __iter__(self):
+        yield from self.frames()
+
+    def frames(self, paced: bool | None = None):
+        """Iterate processed frames, optionally paced to playback_fps.
+
+        The reference's deployment mode replays datasets at wall-clock
+        rate (DatasetCameraBase::ResetTime, driven from the camera thread
+        Input.cpp:240-303; README.md:61-65 \"30 fps deployment mode\"):
+        frame k is delivered no earlier than
+        ``start + (t_k - t_0) * native_fps / playback_fps``.
+        ``playback_fps <= 0`` (or paced=False) replays as fast as
+        possible — the evaluation mode every benchmark uses."""
+        import time
+
+        if paced is None:
+            paced = self.s.playback_paced
+        rate = float(self.s.playback_fps)
+        t0_data = None
+        t0_wall = time.perf_counter()
+        native = None
+        prev_ts = None
         for raw in self.dataset:
+            if paced and rate > 0:
+                if t0_data is None:
+                    t0_data = raw.timestamp
+                elif native is None and raw.timestamp > prev_ts:
+                    native = 1.0 / (raw.timestamp - prev_ts)
+                if native is not None:
+                    target = t0_wall + (raw.timestamp - t0_data) \
+                        * native / rate
+                    delay = target - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+                prev_ts = raw.timestamp
             yield self.process_raw(raw)

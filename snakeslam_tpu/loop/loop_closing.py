@@ -46,6 +46,14 @@ class LoopClosing:
         self.consistency_count = 0
         self.n_loops_closed = 0
         self.key = jax.random.PRNGKey(settings.random_seed + 7)
+        self._searcher = None
+
+    def _map_searcher(self):
+        """Lazily built projection-fusion helper for SearchAndFuse."""
+        if self._searcher is None:
+            from snakeslam_tpu.mapping.fusion import MapSearcher
+            self._searcher = MapSearcher(self.s, self.map)
+        return self._searcher
 
     # ------------------------------------------------------------------
 
@@ -284,7 +292,42 @@ class LoopClosing:
             if smap.pt_valid[a] and smap.pt_valid[b] and a != b:
                 smap.replace_point(int(a), int(b))
 
-        # ---- final polish: point-only BA + short full BA ----
+        # ---- SearchAndFuse (LoopClosing.cpp:141-145): project each
+        # side's map points into the other side's (now-corrected)
+        # keyframes and merge every duplicate.  The registration pairs
+        # above only couple the ~hundred Sim3 inliers; without this dense
+        # fusion the two sides stay almost observation-disjoint and the
+        # final FullBA can slide the weakly-coupled block away from the
+        # PGO solution.
+        searcher = self._map_searcher()
+        if searcher is not None:
+            cand_group, _ = smap.covisible_keyframes(cand, min_weight=15)
+            cand_group = set(int(g) for g in cand_group) | {cand}
+            def side_points(kf_set):
+                out = []
+                for g in kf_set:
+                    out.append(smap.keyframe_points(int(g)))
+                if not out:
+                    return np.array([], dtype=np.int64)
+                pts = np.unique(np.concatenate(out))
+                return pts[smap.pt_valid[pts]]
+            cur_pts = side_points(group)
+            loop_pts = side_points(cand_group)
+            for g in group:
+                searcher._fuse_points_into_kf(loop_pts, int(g), th=4.0)
+            for g in cand_group:
+                searcher._fuse_points_into_kf(cur_pts, int(g), th=4.0)
+            smap.update_points_bulk(np.concatenate([cur_pts, loop_pts]))
+
+        # ---- final polish (RunGBA, LoopClosing.cpp:517-560) ----
+        # Order matters: a strong point-only pass first makes the point
+        # cloud consistent with the pose-graph solution, and the outlier
+        # prune removes the cross-seam observations that still disagree —
+        # feeding the joint FullBA a self-consistent state.  Running the
+        # joint BA directly on the post-PGO map can drag the loop-seam
+        # keyframes into a nearby (wrong) basin: the reference avoids this
+        # the same way, point updates first, then joint refinement.
         if self.gba is not None:
-            self.gba.point_ba(iterations=3)
+            self.gba.point_ba(iterations=10)
+            self.gba.remove_outliers()
             self.gba.full_ba(iterations=3)

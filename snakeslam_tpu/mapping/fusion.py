@@ -28,16 +28,20 @@ from snakeslam_tpu.system.settings import Settings
 from snakeslam_tpu.tracking.staging import kf_features_cached
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
+@functools.partial(jax.jit, static_argnames=("levels", "th"))
 def _fuse_search_single(lm, feats, pose, cam, bf, bounds, scales,
-                        log_sf, levels: int):
+                        log_sf, levels: int, th: float = 1.0):
     """Jitted single-target projection search (the backward fuse pass —
-    eager execution would dispatch each op over the device link)."""
+    eager execution would dispatch each op over the device link).  ``th``
+    scales the projection window: 1.0 for steady-state neighbor fusion,
+    4.0 for post-loop SearchAndFuse where corrected poses still carry the
+    pose-graph residual (the reference uses the same widened radius,
+    LoopClosing.cpp SearchAndFuse -> Fuse(..., 4.0))."""
     st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
     out = M.search_by_projection_fine(
         lm, feats, pose, cam, bf,
         (bounds[0], bounds[1], bounds[2], bounds[3]), st,
-        feat_free=feats.valid, th=1.0, ratio=0.9,
+        feat_free=feats.valid, th=th, ratio=0.9,
     )
     return out["feat_point"]
 
@@ -96,7 +100,7 @@ class MapSearcher:
     # ------------------------------------------------------------------
 
     def _fuse_points_into_kf(self, point_ids: np.ndarray, kf: int,
-                             staged=None) -> int:
+                             staged=None, th: float = 1.0) -> int:
         """Project `point_ids` into keyframe `kf` and merge/link hits."""
         smap = self.map
         if len(point_ids) == 0:
@@ -111,7 +115,7 @@ class MapSearcher:
             lm, feats, jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
             self.cam, self.bf,
             jnp.asarray(self.bounds, dtype=jnp.float32),
-            self.scales, self.log_sf, int(self.scales.shape[0]),
+            self.scales, self.log_sf, int(self.scales.shape[0]), th=th,
         )
         return self._commit_fuse(np.asarray(fp), ids, kf)
 

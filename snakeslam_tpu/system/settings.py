@@ -36,6 +36,9 @@ class SensorType(enum.IntEnum):
 class DatasetParams:
     dataset_dir: str = ""
     playback_fps: float = 30.0
+    # deliver frames at wall-clock rate (deployment mode, README.md:61-65);
+    # off = as-fast-as-possible evaluation replay
+    playback_paced: bool = False
     start_frame: int = 0
     max_frames: int = -1
     ground_truth: str = ""
@@ -156,7 +159,8 @@ class Settings:
                      "local_map_slots", "lba_cam_slots", "lba_point_slots",
                      "lba_obs_slots"],
     }
-    _DATASET_KEYS = ["dataset_dir", "playback_fps", "start_frame",
+    _DATASET_KEYS = ["dataset_dir", "playback_fps", "playback_paced",
+                     "start_frame",
                      "max_frames", "ground_truth"]
 
     @classmethod

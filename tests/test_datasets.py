@@ -139,3 +139,41 @@ def test_full_image_pipeline_tum(tmp_path, rng):
     assert np.abs(np.median(dx) - 0.03) < 0.01
     system.write_trajectories(tmp_path / "out")
     assert (tmp_path / "out" / "trajectory_frames_ba.tum").exists()
+
+
+def test_playback_pacing(rng):
+    """Deployment-mode pacing (Input.cpp:240-303 + ResetTime): frames are
+    delivered no faster than playback_fps allows; evaluation mode streams
+    as fast as possible."""
+    import time
+
+    from snakeslam_tpu.frontend.datasets import RawFrame
+    from snakeslam_tpu.frontend.input import Input
+    from snakeslam_tpu.system.settings import InputType, Settings
+
+    s = Settings()
+    s.input_type = InputType.Mono
+    s.width, s.height = 64, 64
+    s.fd_features = 32
+
+    def fake_dataset():
+        img = rng.uniform(0, 255, (64, 64)).astype(np.float32)
+        for i in range(6):
+            # native 100 fps timestamps
+            yield RawFrame(frame_id=i, timestamp=i * 0.01, gray=img)
+
+    s.playback_fps = 25.0  # quarter speed -> >= 0.04 s between frames
+    s.playback_paced = True
+    inp = Input(s, dataset=fake_dataset())
+    t0 = time.perf_counter()
+    frames = list(inp.frames())
+    paced_wall = time.perf_counter() - t0
+    assert len(frames) == 6
+    # 5 gaps * 0.04 s = 0.2 s minimum (first frames free)
+    assert paced_wall >= 0.12, f"pacing ignored: {paced_wall:.3f}s"
+
+    inp = Input(s, dataset=fake_dataset())
+    t0 = time.perf_counter()
+    frames = list(inp.frames(paced=False))
+    assert len(frames) == 6
+    assert time.perf_counter() - t0 < paced_wall

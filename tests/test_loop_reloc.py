@@ -186,3 +186,91 @@ def test_relocalization_after_blackout():
             assert err < 0.1, f"reloc pose error {err}"
             break
     assert recovered, "relocalization never succeeded"
+
+
+@pytest.mark.slow
+def test_loop_closing_full_pipeline_with_gba():
+    """The COMPLETE CorrectLoop pipeline — rigid group correction, point
+    transform, fusion, PointBA, FullBA (LoopClosing.cpp CorrectLoop) — runs
+    end-to-end with GBA enabled on smoothly accumulated drift (a Sim3 ramp
+    across the revisit segment, the shape real odometry drift takes)."""
+    system, frames = _run_circle()
+    smap = system.map
+    lc = system.loop_closing
+    kfs = [int(k) for k in smap.valid_keyframes()]
+    new_side = kfs[-3:]
+    new_set = set(new_side)
+
+    # observation-disjoint split, as in the step-drift test
+    for pt in list(smap.valid_points()):
+        okfs, ofeats = smap.point_observations(int(pt))
+        in_new = [(k, f) for k, f in zip(okfs, ofeats) if k in new_set]
+        in_old = [(k, f) for k, f in zip(okfs, ofeats) if k not in new_set]
+        if in_new and in_old:
+            ref_k = in_new[0][0]
+            clone = smap.allocate_point(
+                smap.pt_pos[pt].copy(), smap.pt_desc[pt].copy(), int(ref_k),
+                float(smap.pt_ref_depth[pt]), int(smap.pt_ref_level[pt]),
+                smap.pt_normal[pt].copy(),
+            )
+            for k, f in in_new:
+                smap.remove_observation(int(k), int(f))
+                smap.add_observation(int(k), int(f), clone)
+
+    from snakeslam_tpu.core import lie
+    import jax.numpy as jnp
+
+    # uniform Sim3 drift on the revisit group — drift is locally rigid
+    # within one covisible group, the model CorrectLoop's rigid group
+    # correction assumes (both here and in LoopClosing.cpp:242-263)
+    xi_d = np.array([0.18, -0.08, 0.1, 0.0, 0.02, 0.008, 0.0])
+    D = np.asarray(lie.sim3_exp(jnp.asarray(xi_d)))
+    s_d = float(np.asarray(lie.sim3_scale(jnp.asarray(D))))
+    R_d = D[:3, :3] / s_d
+    t_d = D[:3, 3]
+    ordered = sorted(new_side, key=lambda k: smap.kf_frame_id[k])
+    poses_before = {}
+    for k in ordered:
+        poses_before[k] = smap.kf_pose[k].copy()
+        smap.kf_pose[k] = transform_pose_cw(smap.kf_pose[k], s_d, R_d, t_d)
+    for pt in smap.valid_points():
+        okfs, _ = smap.point_observations(int(pt))
+        if len(okfs) and all(k in new_set for k in okfs):
+            smap.pt_pos[pt] = s_d * (R_d @ smap.pt_pos[pt]) + t_d
+    smap.state += 1
+
+    # spy on the GBA stages so the test proves the WHOLE pipeline executed
+    calls = {"full_ba": 0, "point_ba": 0}
+    gba = lc.gba
+    orig_full, orig_point = gba.full_ba, gba.point_ba
+
+    def spy_full(*a, **kw):
+        calls["full_ba"] += 1
+        return orig_full(*a, **kw)
+
+    def spy_point(*a, **kw):
+        calls["point_ba"] += 1
+        return orig_point(*a, **kw)
+
+    gba.full_ba, gba.point_ba = spy_full, spy_point
+
+    for k in kfs:
+        system.database.add(k)
+    lc.last_loop_kf = -10**9
+    lc.prev_candidates = set()
+    lc.consistency_count = 0
+    for k in ordered:
+        lc.process(k)
+
+    assert lc.n_loops_closed >= 1, "loop closure did not fire"
+    assert calls["full_ba"] >= 1, "FullBA stage never ran"
+    assert calls["point_ba"] >= 1, "PointBA stage never ran"
+
+    errs = []
+    for k in new_side:
+        d = np.linalg.norm(
+            np.linalg.inv(smap.kf_pose[k])[:3, 3]
+            - np.linalg.inv(poses_before[k])[:3, 3]
+        )
+        errs.append(d)
+    assert max(errs) < 0.25, f"loop+GBA correction residual {max(errs)}"
