@@ -177,3 +177,103 @@ def test_playback_pacing(rng):
     frames = list(inp.frames(paced=False))
     assert len(frames) == 6
     assert time.perf_counter() - t0 < paced_wall
+
+
+def test_kitti_loader(tmp_path, rng):
+    """KITTI odometry layout: stereo pairs, times.txt, calib P0/P1, GT
+    poses (datasets.KittiDataset; reference Input supports the same
+    layout via saiga's KittiDataset)."""
+    from snakeslam_tpu.frontend.datasets import KittiDataset
+
+    seq = tmp_path / "sequences" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    img = _texture(rng)[:H, :W]
+    n = 4
+    for i in range(n):
+        Image.fromarray(img).save(seq / "image_0" / f"{i:06d}.png")
+        Image.fromarray(img).save(seq / "image_1" / f"{i:06d}.png")
+    (seq / "times.txt").write_text("\n".join(f"{i * 0.1:.6f}"
+                                             for i in range(n)))
+    (seq / "calib.txt").write_text(
+        "P0: 718.856 0 607.19 0 0 718.856 185.21 0 0 0 1 0\n"
+        "P1: 718.856 0 607.19 -386.14 0 718.856 185.21 0 0 0 1 0\n"
+    )
+    poses = tmp_path / "poses"
+    poses.mkdir()
+    rows = []
+    for i in range(n):
+        T = np.hstack([np.eye(3), [[i * 0.5], [0.0], [0.0]]])
+        rows.append(" ".join(f"{v:.6e}" for v in T.ravel()))
+    (poses / "00.txt").write_text("\n".join(rows))
+
+    ds = KittiDataset(tmp_path, "00")
+    frames = list(ds)
+    assert len(frames) == n == len(ds)
+    assert frames[0].gray.shape == (H, W)
+    assert frames[0].right is not None
+    assert np.isclose(frames[2].timestamp, 0.2)
+    assert np.isclose(ds.calib["fx"], 718.856)
+    assert np.isclose(ds.calib["bf"], 386.14)
+    assert ds.gt is not None and np.isclose(ds.gt["p"][3, 0], 1.5)
+    # start/max_frames windowing
+    ds2 = KittiDataset(tmp_path, "00", start=1, max_frames=2)
+    assert len(list(ds2)) == 2 == len(ds2)
+
+
+def test_scannet_loader(tmp_path, rng):
+    """ScanNet export layout: color jpgs + millimeter depth pngs +
+    intrinsic_depth.txt (datasets.ScannetDataset)."""
+    from snakeslam_tpu.frontend.datasets import ScannetDataset
+
+    (tmp_path / "color").mkdir()
+    (tmp_path / "depth").mkdir()
+    (tmp_path / "intrinsic").mkdir()
+    img = _texture(rng)[:H, :W]
+    for i in range(3):
+        Image.fromarray(img).convert("RGB").save(
+            tmp_path / "color" / f"{i}.jpg")
+        depth_mm = np.full((H, W), 1500, dtype=np.uint16)
+        Image.fromarray(depth_mm).save(tmp_path / "depth" / f"{i}.png")
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 577.87, 577.87, 319.5, 239.5
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_depth.txt", K)
+
+    ds = ScannetDataset(tmp_path, fps=30.0)
+    frames = list(ds)
+    assert len(frames) == 3 == len(ds)
+    assert frames[0].gray.shape == (H, W)
+    assert np.isclose(frames[0].depth[50, 50], 1.5)  # mm -> m
+    assert np.isclose(frames[1].timestamp, 1 / 30.0)
+    assert np.isclose(ds.calib["fx"], 577.87)
+
+
+def test_zju_loader_and_factory(tmp_path, rng):
+    """ZJU-SenseTime ships the EuRoC/ASL layout; the factory must route
+    SensorType.ZJU there (datasets.ZjuDataset / create_dataset)."""
+    from snakeslam_tpu.frontend.datasets import ZjuDataset, create_dataset
+    from snakeslam_tpu.system.settings import SensorType, Settings
+
+    mav = tmp_path / "mav0"
+    cam = mav / "cam0"
+    (cam / "data").mkdir(parents=True)
+    img = _texture(rng)[:H, :W]
+    lines = ["#timestamp [ns],filename"]
+    for i in range(3):
+        ts_ns = 1_000_000_000 + i * 33_000_000
+        Image.fromarray(img).save(cam / "data" / f"{ts_ns}.png")
+        lines.append(f"{ts_ns},{ts_ns}.png")
+    (cam / "data.csv").write_text("\n".join(lines))
+    (cam / "sensor.yaml").write_text(
+        "intrinsics: [400.0, 400.0, 160.0, 120.0]\n"
+        "resolution: [320, 240]\n"
+    )
+
+    ds = ZjuDataset(tmp_path)
+    assert len(list(ds)) == 3
+    assert ds.calib["fx"] == 400.0
+
+    s = Settings()
+    s.sensor_type = SensorType.ZJU
+    ds2 = create_dataset(s, tmp_path)
+    assert isinstance(ds2, ZjuDataset)

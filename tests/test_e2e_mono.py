@@ -51,6 +51,7 @@ def test_mono_initializes_and_tracks():
     assert not np.isclose(scale, 0.0)
 
 
+@pytest.mark.slow
 def test_mono_rejects_pure_rotation():
     """Rotation-only motion must not initialize (homography/parallax gates)."""
     from snakeslam_tpu.utils.synthetic import lookat_pose_cw

@@ -81,6 +81,7 @@ def test_stereo_sequence_tracks():
     assert rmse < 0.05, f"ATE {rmse}"
 
 
+@pytest.mark.slow
 def test_tum_trajectory_export(tmp_path):
     system, frames = _run_sequence(InputType.RGBD, n_frames=12)
     system.write_trajectories(tmp_path)

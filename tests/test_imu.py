@@ -73,6 +73,7 @@ def _kf_data(n_kf=12, kf_dt=0.5, bg=None, ba=None, rate=200.0):
     return R, p, v, preints
 
 
+@pytest.mark.slow
 def test_gyro_bias_recovery():
     bg_true = np.array([0.02, -0.015, 0.01])
     R, p, v, preints = _kf_data(bg=bg_true)
@@ -93,6 +94,7 @@ def test_gyro_bias_recovery():
     assert np.abs(np.asarray(bg) - bg_true).max() < 2e-3
 
 
+@pytest.mark.slow
 def test_scale_gravity_recovery():
     s_true = 2.7
     R, p, v, preints = _kf_data(n_kf=14)
@@ -111,6 +113,7 @@ def test_scale_gravity_recovery():
     assert np.abs(np.asarray(g) - G_WORLD).max() < 0.15
 
 
+@pytest.mark.slow
 def test_scale_gravity_with_acc_bias():
     s_true = 1.8
     ba_true = np.array([0.05, -0.03, 0.08])
@@ -134,6 +137,7 @@ def test_scale_gravity_with_acc_bias():
     assert np.abs(np.asarray(ba) - ba_true).max() < 0.05
 
 
+@pytest.mark.slow
 def test_velocities_from_pairs():
     R, p, v, preints = _kf_data(n_kf=10)
     dt = jnp.asarray([float(pr.dt) for pr in preints], F64)
@@ -146,6 +150,7 @@ def test_velocities_from_pairs():
     assert np.abs(np.asarray(vel)[:-1] - v[:-1]).max() < 0.05
 
 
+@pytest.mark.slow
 def test_imu_chain_solver():
     bg_true = np.array([0.01, -0.008, 0.012])
     ba_true = np.array([0.04, -0.02, 0.05])
