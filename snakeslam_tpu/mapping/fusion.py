@@ -180,10 +180,19 @@ class MapSearcher:
         # forward: this KF's points into ALL neighbors in ONE vmapped call,
         # padded to the fixed FUSE_NB width so exactly one program ever
         # compiles (pad-row results are never committed)
+        # bucket the point-snapshot width (1024/2048/.../local_map_slots):
+        # the projection search scales with it, a single keyframe rarely
+        # observes more than ~1.5k points, and each bucket compiles once
+        def _bucket(n):
+            b = 1024
+            while b < n:
+                b *= 2
+            return min(b, self.s.local_map_slots)
+
         fp_fwd = ids_f = None
         if len(kf_pts):
             padded = neighbors + [neighbors[-1]] * (FUSE_NB - len(neighbors))
-            lm_f, ids_f = mirror.gather(kf_pts, self.s.local_map_slots)
+            lm_f, ids_f = mirror.gather(kf_pts, _bucket(len(kf_pts)))
             nb_slots = pool.slots_for(padded)
             poses = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
             fp_fwd = _fuse_pool_batch(
@@ -199,7 +208,7 @@ class MapSearcher:
         nb_pts = nb_pts[smap.pt_valid[nb_pts]]
         fp_bwd = ids_b = None
         if len(nb_pts):
-            lm_b, ids_b = mirror.gather(nb_pts, self.s.local_map_slots)
+            lm_b, ids_b = mirror.gather(nb_pts, _bucket(len(nb_pts)))
             kf_slot = pool.slots_for([kf])[0]
             fp_bwd = _fuse_pool_single(
                 pool.arrays, jnp.int32(kf_slot), lm_b,
