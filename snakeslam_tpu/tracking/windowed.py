@@ -332,13 +332,14 @@ class WindowedRunner:
 
         def top_up():
             nonlocal next_i, carry
-            # while an inline back-end cycle is in flight, already-dispatched
-            # windows keep the device busy but NO new windows launch on the
-            # stale snapshot — the same staleness bound as the blocking
-            # flush had, without the host stall
+            # a pending inline back-end cycle does NOT block dispatch:
+            # speculative windows track on the slightly stale snapshot
+            # until the commit lands (the reference's async-mode staleness,
+            # README.md:61-65).  Visual-inertial runs never reach here with
+            # a pending cycle — their commits are synchronous, because VI
+            # init stages can rescale the whole map.
             while (not stop_dispatch and next_i < n
-                   and len(inflight) < self.depth
-                   and self._backend_token is None):
+                   and len(inflight) < self.depth):
                 item, carry = self._dispatch(
                     frames, next_i, W, lm, lm_ids, carry, scal)
                 next_i += len(item.batch)
