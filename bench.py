@@ -118,6 +118,7 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     rmse, scale, n = system.ate_against_gt(with_scale=False)
     return {
         "orb_fps": _bench_orb(),
+        "kf_cycle_ms": _bench_kf_cycle(system),
         "fps": fps,
         "n_tracked": n_tracked,
         "n_frames": n_frames,
@@ -127,6 +128,43 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
         "n_points": system.map.n_points,
         "device_calls": runner.n_device_calls,
     }
+
+
+def _bench_kf_cycle(system, reps: int = 3):
+    """Secondary metric: one full keyframe back-end cycle — triangulation
+    fan-out + bidirectional fusion + LBA, dispatch through blocking
+    readback — in milliseconds (median of ``reps``).  The main metric's
+    sparse keyframe cadence (~1 KF / 80 frames) exercises these paths only
+    a handful of times; this reports their steady-state latency directly."""
+    import time
+
+    import numpy as np
+
+    from snakeslam_tpu.utils.fetch import fetch_list
+
+    try:
+        lm = system.tracker.local_mapper
+        kf = int(system.tracker.last_kf)
+        times = []
+        for _ in range(reps + 1):
+            t0 = time.perf_counter()
+            tri = lm._tri_dispatch(kf)
+            fuse = (lm.map_searcher.dispatch(kf)
+                    if lm.map_searcher is not None else None)
+            ba = lm.lba.dispatch(kf) if lm.lba is not None else None
+            arrays = []
+            if tri is not None:
+                arrays += [tri[0]["valid"], tri[0]["match_b"],
+                           tri[0]["point"]]
+            if fuse is not None:
+                arrays += fuse[0]
+            if ba is not None:
+                arrays += ba[0]
+            fetch_list(arrays)
+            times.append(time.perf_counter() - t0)
+        return round(float(np.median(times[1:])) * 1000, 1)
+    except Exception:
+        return None
 
 
 def _bench_orb(n_frames: int = 30):
@@ -185,6 +223,7 @@ def main():
             "keyframes": res["n_keyframes"],
             "points": res["n_points"],
             "orb_fps": res.get("orb_fps"),
+            "kf_cycle_ms": res.get("kf_cycle_ms"),
         },
     }
     print(json.dumps(out))

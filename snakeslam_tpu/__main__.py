@@ -21,6 +21,9 @@ def main(argv=None):
     ap.add_argument("--name", default=None, help="output file prefix")
     ap.add_argument("--outDir", default=None, help="evaluation output dir")
     ap.add_argument("--maxFrames", type=int, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax profiler trace of the run into "
+                         "<outDir>/trace (view with TensorBoard/xprof)")
     args = ap.parse_args(argv)
 
     from snakeslam_tpu.system.settings import Settings
@@ -43,7 +46,21 @@ def main(argv=None):
 
     inp = Input(settings, dataset_root=settings.dataset.dataset_dir)
     system = SlamSystem(settings)
-    wall = system.run(iter(inp))
+    if args.profile:
+        # device+host trace (the reference's per-module PerformanceStats
+        # tables cover wall time; this exposes the XLA op timeline)
+        import contextlib
+
+        import jax
+
+        trace_dir = str(Path(settings.eval_dir) / "trace")
+        profile_cm = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        wall = system.run(iter(inp))
 
     out_dir = Path(settings.eval_dir)
     system.write_trajectories(out_dir)
