@@ -101,7 +101,7 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
     t_start = _PROC_T0
     best = None
-    for _ in range(3):
+    for _ in range(5):
         system, frames = build(7, n_frames)
         runner = WindowedRunner(system, window=window, two_stage=two_stage)
         t0 = time.perf_counter()
