@@ -67,6 +67,15 @@ def main(argv=None):
     from snakeslam_tpu.viewer.export import export_viewer_snapshot
 
     export_viewer_snapshot(system.map, out_dir, tag=settings.out_file_prefix)
+    try:
+        from snakeslam_tpu.viewer.plot import plot_map
+
+        plot_map(system.map,
+                 out_dir / f"{settings.out_file_prefix}_map.png",
+                 trajectory=system.tracker.trajectory,
+                 title=settings.out_file_prefix)
+    except Exception as e:  # matplotlib optional
+        print(f"map plot skipped: {e}", file=sys.stderr)
     n = len(system.tracker.trajectory)
     print(f"tracked {n} frames in {wall:.1f}s "
           f"({n / max(wall, 1e-9):.1f} fps)")
