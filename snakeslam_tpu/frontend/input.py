@@ -92,8 +92,8 @@ class Input:
         import time
 
         if paced is None:
-            paced = self.s.playback_paced
-        rate = float(self.s.playback_fps)
+            paced = self.s.dataset.playback_paced
+        rate = float(self.s.dataset.playback_fps)
         t0_data = None
         t0_wall = time.perf_counter()
         native = None

@@ -438,32 +438,43 @@ class WindowedRunner:
         t = self.tracker
         lm_ids = item.lm_ids
         inserted = False
+        # vectorized over the window: match-id translation and pose
+        # unpacking cost one numpy pass instead of one per frame
+        a_all = assign.astype(np.int64)
+        safe = np.clip(a_all, 0, max(len(lm_ids) - 1, 0))
+        matches_all = np.where(a_all >= 0, lm_ids[safe], -1)
+        poses = outs[:, :16].reshape(-1, 4, 4).astype(np.float64)
+        prev_pose = (t.last_tracked_frame.pose_cw
+                     if t.last_tracked_frame is not None else None)
+
+        def _update_velocity(n_done):
+            # only the post-window velocity is ever read (chain carries run
+            # on device), so one update replaces the per-frame chain
+            if n_done >= 2:
+                t.velocity = poses[n_done - 1] @ np.linalg.inv(
+                    poses[n_done - 2])
+            elif n_done == 1 and prev_pose is not None:
+                t.velocity = poses[0] @ np.linalg.inv(prev_pose)
+
         for w, frame in enumerate(item.batch):
             row = outs[w]
             if row[19] > 0.5:   # stopped before this frame
+                _update_velocity(w)
                 return -(item.start + w + 1)
             if row[17] < 0.5:   # not ok
                 # stats up to the failure are already summed in vis/fnd for
                 # active frames only; commit them before bailing
                 self._submit(self._commit_stats, lm_ids, vis, fnd)
+                _update_velocity(w)
                 return -(item.start + w + 1)
             if self.imu_solver is not None:
                 # keep keyframe-edge preintegration windows complete
                 # (serialized with the back-end worker's update_map)
                 self._submit(self.imu_solver.add_frame_samples, frame)
-            frame.pose_cw = row[:16].reshape(4, 4).astype(np.float64)
-            a = assign[w].astype(np.int64)[: frame.n]
-            matches = np.full(frame.n, -1, dtype=np.int64)
-            sel = a >= 0
-            matches[sel] = lm_ids[a[sel]]
-            frame.matches = matches
+            frame.pose_cw = poses[w]
+            frame.matches = matches_all[w, : frame.n].copy()
             frame.outlier = np.zeros(frame.n, dtype=bool)
             frame.ref_kf = t.last_kf
-            if (t.last_tracked_frame is not None
-                    and t.last_tracked_frame.pose_cw is not None):
-                t.velocity = frame.pose_cw @ np.linalg.inv(
-                    t.last_tracked_frame.pose_cw
-                )
             t.last_tracked_frame = frame
             t.last_frame = frame
             t.trajectory.append(frame)
@@ -478,6 +489,7 @@ class WindowedRunner:
                 else:
                     self._submit(self._insert_kf_task, frame)
                     inserted = True
+        _update_velocity(len(item.batch))
         self._submit(self._commit_stats, lm_ids, vis, fnd)
         return True if inserted else None
 

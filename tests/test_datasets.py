@@ -162,8 +162,8 @@ def test_playback_pacing(rng):
             # native 100 fps timestamps
             yield RawFrame(frame_id=i, timestamp=i * 0.01, gray=img)
 
-    s.playback_fps = 25.0  # quarter speed -> >= 0.04 s between frames
-    s.playback_paced = True
+    s.dataset.playback_fps = 25.0  # quarter speed -> >= 0.04 s gaps
+    s.dataset.playback_paced = True
     inp = Input(s, dataset=fake_dataset())
     t0 = time.perf_counter()
     frames = list(inp.frames())
