@@ -115,21 +115,18 @@ def sharded_ba_step(mesh: Mesh, cam: Pinhole, bf, n_iters: int = 1,
                 red.reshape(-1, 6), flat_c, num_segments=C + 1
             )[:C]
             Z = jnp.einsum("pij,pmkj->pmik", Hpp_inv, Y)
-            # carry must be marked device-varying for the shard_map vma check
-            S = jax.lax.pcast(jnp.zeros((C * C, 36), dtype=dtype), "dp",
-                              to="varying")
-
-            def accum(m, S):
-                blk = jnp.einsum("pik,pmkj->pmij", Y[:, m], Z)
-                ci = cidx[:, m][:, None]
-                pair = jnp.where(
-                    (ci < C) & (cidx < C), ci * C + cidx, C * C
-                ).reshape(-1)
-                return S + jax.ops.segment_sum(
-                    blk.reshape(-1, 36), pair, num_segments=C * C + 1
-                )[: C * C]
-
-            S = jax.lax.fori_loop(0, M, accum, S)
+            # one batched scatter for all (m, m') camera-pair blocks (same
+            # rationale as ops/ba.py: a single segment_sum beats M
+            # sequential passes on this latency-bound problem)
+            blk = jnp.einsum("pmik,pnkj->pmnij", Y, Z)
+            ci = cidx[:, :, None]
+            cj = cidx[:, None, :]
+            pair = jnp.where(
+                (ci < C) & (cj < C), ci * C + cj, C * C
+            ).reshape(-1)
+            S = jax.ops.segment_sum(
+                blk.reshape(-1, 36), pair, num_segments=C * C + 1
+            )[: C * C]
             S = -S.reshape(C, C, 6, 6)
             S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
 
