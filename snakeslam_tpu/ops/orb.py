@@ -201,7 +201,13 @@ def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
 
 def brief_descriptors(img_blur: jax.Array, uv: jax.Array,
                       angle_deg: jax.Array) -> jax.Array:
-    """Rotated BRIEF: (N, 256) bits in {0, 1} (int8)."""
+    """Rotated BRIEF: (N, 256) bits in {0, 1} (int8).
+
+    One flat gather from the blurred image (N*256*2 indices) instead of
+    per-keypoint dynamic-slice patches + a second gather — fewer scatter
+    kernels, and sampling is centered correctly for border keypoints
+    (the patch path clamps the whole window into the image, which
+    off-centers the pattern near edges)."""
     pattern = jnp.asarray(BRIEF_PATTERN)            # (256, 2, 2)
     rad = jnp.radians(angle_deg)
     c, s = jnp.cos(rad), jnp.sin(rad)
@@ -212,15 +218,12 @@ def brief_descriptors(img_blur: jax.Array, uv: jax.Array,
     ry = s[:, None, None] * px + c[:, None, None] * py
 
     H, W = img_blur.shape
-    # gather via per-keypoint patches (cheaper than global gathers: the
-    # pattern stays inside the 31x31 patch by construction)
-    patches = _extract_patches(img_blur, uv, _PATCH)  # (N, 31, 31)
-    ix = jnp.clip(jnp.round(rx + PATCH_R).astype(jnp.int32), 0, _PATCH - 1)
-    iy = jnp.clip(jnp.round(ry + PATCH_R).astype(jnp.int32), 0, _PATCH - 1)
-    flat = patches.reshape(patches.shape[0], -1)
-    lin = iy * _PATCH + ix                          # (N, 256, 2)
-    vals = jnp.take_along_axis(flat[:, :], lin.reshape(lin.shape[0], -1),
-                               axis=1).reshape(lin.shape)
+    ix = jnp.clip(jnp.round(uv[:, 0, None, None] + rx).astype(jnp.int32),
+                  0, W - 1)
+    iy = jnp.clip(jnp.round(uv[:, 1, None, None] + ry).astype(jnp.int32),
+                  0, H - 1)
+    lin = (iy * W + ix).reshape(-1)
+    vals = jnp.take(img_blur.reshape(-1), lin).reshape(uv.shape[0], 256, 2)
     return (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.int8)
 
 
