@@ -67,6 +67,12 @@ def test_viewer_export(tmp_path):
     assert len(snap.keyframe_poses) == system.map.n_keyframes
     head = (tmp_path / "m.ply").read_text().splitlines()[:2]
     assert head[0] == "ply"
+    # offline PNG rendering (SnakeOpenGLViewer headless analog)
+    from snakeslam_tpu.viewer.plot import plot_map
+
+    png = plot_map(system.map, tmp_path / "m_map.png",
+                   trajectory=system.tracker.trajectory)
+    assert png.exists() and png.stat().st_size > 5000
 
 
 @pytest.mark.slow
