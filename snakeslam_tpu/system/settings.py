@@ -147,6 +147,12 @@ class Settings:
         "Global": ["random_seed", "eval_dir", "out_file_prefix", "async_mode",
                    "async_lba", "num_tracking_threads"],
         "Input": ["input_type", "sensor_type", "voc_file"],
+        # fallback calibration: datasets that ship calib files (EuRoC
+        # sensor.yaml, KITTI calib.txt) override these at load
+        # (frontend/input.py); datasets without them (TUM fixtures,
+        # custom rigs) read the INI
+        "Camera": ["fx", "fy", "cx", "cy", "width", "height", "bf",
+                   "th_depth"],
         "FeatureDetector": ["fd_features", "fd_scale_factor", "fd_levels",
                             "fd_ini_th_fast", "fd_min_th_fast", "fd_threads",
                             "fd_buffer_to_file", "fd_relaxed_stereo",
