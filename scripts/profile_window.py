@@ -16,7 +16,9 @@ from snakeslam_tpu.tracking.windowed import WindowedRunner
 from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
 
 
-def build(seed, count, async_mode=True):
+def build(seed, count, async_mode=None):
+    if async_mode is None:
+        async_mode = os.environ.get("BENCH_ASYNC", "0") == "1"
     settings = Settings()
     settings.input_type = InputType.Stereo
     settings.enable_imu = False
@@ -86,6 +88,34 @@ def main():
 
         setattr(runner, name, _mk(name, getattr(runner, name)))
 
+    for name in ("_dispatch_backend_cycles", "_commit_backend"):
+        times[name] = 0.0
+        counts[name] = 0
+
+        def _mk2(nm, orig):
+            def f(*a, **kw):
+                t = time.perf_counter()
+                r = orig(*a, **kw)
+                times[nm] += time.perf_counter() - t
+                counts[nm] += 1
+                return r
+            return f
+
+        setattr(runner, name, _mk2(name, getattr(runner, name)))
+
+    times["process_frame"] = 0.0
+    counts["process_frame"] = 0
+    orig_pf = system.process_frame
+
+    def timed_pf(*a, **kw):
+        t = time.perf_counter()
+        r = orig_pf(*a, **kw)
+        times["process_frame"] += time.perf_counter() - t
+        counts["process_frame"] += 1
+        return r
+
+    system.process_frame = timed_pf
+
     lm = system.tracker.local_mapper
     times["flush_deferred"] = 0.0
     counts["flush_deferred"] = 0
@@ -130,7 +160,8 @@ def main():
     print(f"  fetch:    {times['fetch']:.2f}s ({counts['fetch']}x)")
     print(f"  consume:  {times['consume']:.2f}s")
     for name in ("_drain", "_local_map", "_initial_dec_state", "_idle",
-                 "flush_deferred"):
+                 "flush_deferred", "_dispatch_backend_cycles",
+                 "_commit_backend", "process_frame"):
         print(f"  {name}: {times[name]:.2f}s ({counts[name]}x)")
     print(f"  unattributed: "
           f"{wall - times['dispatch'] - times['fetch'] - times['consume'] - times['_drain'] - times['_local_map'] - times['_initial_dec_state']:.2f}s")

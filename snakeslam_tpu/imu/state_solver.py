@@ -156,10 +156,20 @@ class ImuStateSolver:
         of the NEXT keyframe in the chain, so simplification never destroys
         inertial information (reference Keyframe::SetBadFlag merges the
         culled KF's imu sequence into nextKF, Map/Keyframe.cpp:456-601)."""
-        edge_in = self.edges.pop(int(kf), None)
+        kf = int(kf)
         succ = next((k for k, e in self.edges.items()
-                     if int(e.prev_kf) == int(kf)), None)
-        if succ is None or edge_in is None:
+                     if int(e.prev_kf) == kf and k != kf), None)
+        if succ is None:
+            # newest KF in the chain: nothing to splice into — drop its
+            # incoming window explicitly (it ends at an erased keyframe)
+            self.edges.pop(kf, None)
+            return
+        edge_in = self.edges.pop(kf, None)
+        if edge_in is None:
+            # chain head culled: the successor's edge now starts at an
+            # erased keyframe with no predecessor to rewire to — drop it,
+            # making the successor the new chain head
+            self.edges.pop(succ, None)
             return
         e2 = self.edges[succ]
         merged = ImuEdge(

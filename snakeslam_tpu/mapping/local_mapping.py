@@ -43,6 +43,7 @@ TRI_NB = 10  # fixed neighbor fan-out width (LocalMapping.cpp:317-329);
 )
 def _triangulate_pool(pool_arrays, a_slot, b_slots, free_a, free_b,
                       T_a, T_b, cam, bf, scales, inv_sigma2, grid_a,
+                      th_depth,
                       feature_distance: int, epipolar_distance: float,
                       error_mono: float, bounds_wh: tuple):
     """Jitted vmapped pair triangulation over keyframe-pool rows: the
@@ -59,7 +60,7 @@ def _triangulate_pool(pool_arrays, a_slot, b_slots, free_a, free_b,
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
-            grid_a=grid_a, bounds_wh=bounds_wh,
+            grid_a=grid_a, bounds_wh=bounds_wh, th_depth=th_depth,
         )
 
     return jax.vmap(fn)(feats_b, free_b, T_b)
@@ -377,7 +378,7 @@ class LocalMapper:
             pool.arrays, jnp.int32(slots[0]), jnp.asarray(slots[1:]),
             jnp.asarray(free_a), jnp.asarray(free_b),
             T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
-            jnp.asarray(grid),
+            jnp.asarray(grid), jnp.float32(self.s.th_depth),
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,

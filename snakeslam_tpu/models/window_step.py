@@ -64,37 +64,43 @@ def frame_buffer_width(n_slots: int) -> int:
     return n_slots * (2 + 1 + 1 + 1 + 8) + FRAME_SCALARS
 
 
+def _pack_one_np(f, n_slots: int) -> np.ndarray:
+    """Pack one FrameData into its (K,) f32 row (cached on the frame)."""
+    cache = getattr(f, "_packed_row", None)
+    if cache is not None and cache.shape[0] == frame_buffer_width(n_slots):
+        return cache
+    n = min(f.n, n_slots)
+    row = np.zeros(frame_buffer_width(n_slots), dtype=np.float32)
+    o = 0
+    row[o:o + n * 2] = np.asarray(f.uv[:n], np.float32).ravel()
+    o += n_slots * 2
+    row[o:o + n] = f.right[:n]
+    row[o + n:o + n_slots] = -1.0
+    o += n_slots
+    row[o:o + n] = f.octave[:n]
+    o += n_slots
+    row[o:o + n] = f.angle[:n]
+    o += n_slots
+    row[o:o + n * 8] = np.ascontiguousarray(
+        f.descriptors[:n], dtype=np.uint8).view(np.float32).ravel()
+    o += n_slots * 8
+    row[o] = n
+    row[o + 1] = f.timestamp
+    dR = getattr(f, "imu_dR_cam", None)
+    row[o + 2:o + 11] = (np.eye(3, dtype=np.float32).ravel()
+                         if dR is None
+                         else np.asarray(dR, np.float32).ravel())
+    f._packed_row = row
+    return row
+
+
 def pack_frames_np(frames, n_slots: int) -> np.ndarray:
-    """Host-side packing of FrameData list -> (W, K) f32 buffer."""
-    W = len(frames)
-    K = frame_buffer_width(n_slots)
-    out = np.zeros((W, K), dtype=np.float32)
-    for w, f in enumerate(frames):
-        n = min(f.n, n_slots)
-        o = 0
-        uv = np.zeros((n_slots, 2), dtype=np.float32)
-        uv[:n] = f.uv[:n]
-        out[w, o:o + n_slots * 2] = uv.ravel(); o += n_slots * 2
-        right = np.full(n_slots, -1.0, dtype=np.float32)
-        right[:n] = f.right[:n]
-        out[w, o:o + n_slots] = right; o += n_slots
-        octv = np.zeros(n_slots, dtype=np.float32)
-        octv[:n] = f.octave[:n]
-        out[w, o:o + n_slots] = octv; o += n_slots
-        ang = np.zeros(n_slots, dtype=np.float32)
-        ang[:n] = f.angle[:n]
-        out[w, o:o + n_slots] = ang; o += n_slots
-        desc = np.zeros((n_slots, 32), dtype=np.uint8)
-        desc[:n] = f.descriptors[:n]
-        out[w, o:o + n_slots * 8] = desc.view(np.float32).ravel()
-        o += n_slots * 8
-        out[w, o] = n
-        out[w, o + 1] = f.timestamp
-        dR = getattr(f, "imu_dR_cam", None)
-        out[w, o + 2:o + 11] = (np.eye(3, dtype=np.float32).ravel()
-                                if dR is None
-                                else np.asarray(dR, np.float32).ravel())
-    return out
+    """Host-side packing of FrameData list -> (W, K) f32 buffer.
+
+    Rows are cached per frame, so window-tail padding (the same frame
+    repeated) and retry re-dispatches pack for free; the batch assembles
+    with one np.stack."""
+    return np.stack([_pack_one_np(f, n_slots) for f in frames])
 
 
 def make_dec_state(last_kf_matches: float, last_kf_time: float,

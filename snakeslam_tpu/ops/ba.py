@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from snakeslam_tpu.core import lie
 from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.ops.linalg import inv3x3, solve3x3, solve_psd
 
 import functools
 
@@ -181,6 +182,53 @@ def ba_cost(problem: BAProblem, cam: Pinhole, bf, cam_pose, points,
 
 
 # ---------------------------------------------------------------------------
+# Schur pair scatter
+# ---------------------------------------------------------------------------
+
+_SCHUR_SCATTER_MAX_BYTES = 64 << 20
+
+
+def _schur_pair_scatter(Y, Z, cidx, C):
+    """sum_p Y_pm (Hpp^-1 Y_pn)^T scattered into the (C*C+1, 36) pair table.
+
+    One-shot when the (P, M, M, 6, 6) temporary is small (LBA buckets);
+    chunked over point slots when it would exceed ~64 MB (GBA-scale P).
+    """
+    P, M = cidx.shape
+    dtype = Y.dtype
+
+    def scatter_chunk(Yk, Zk, ck):
+        blk = jnp.einsum("pmik,pnkj->pmnij", Yk, Zk)
+        ci = ck[:, :, None]
+        cj = ck[:, None, :]
+        pair = jnp.where((ci < C) & (cj < C), ci * C + cj, C * C).reshape(-1)
+        return jax.ops.segment_sum(
+            blk.reshape(-1, 36), pair, num_segments=C * C + 1
+        )
+
+    if P * M * M * 36 * 4 <= _SCHUR_SCATTER_MAX_BYTES:
+        return scatter_chunk(Y, Z, cidx)[: C * C]
+
+    Q = max(1, _SCHUR_SCATTER_MAX_BYTES // (M * M * 36 * 4))
+    n_chunks = -(-P // Q)
+    pad = n_chunks * Q - P
+    Yp = jnp.pad(Y, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    Zp = jnp.pad(Z, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    cp = jnp.pad(cidx, ((0, pad), (0, 0)), constant_values=C)
+
+    def body(k, S_acc):
+        Yk = jax.lax.dynamic_slice_in_dim(Yp, k * Q, Q)
+        Zk = jax.lax.dynamic_slice_in_dim(Zp, k * Q, Q)
+        ck = jax.lax.dynamic_slice_in_dim(cp, k * Q, Q)
+        return S_acc + scatter_chunk(Yk, Zk, ck)
+
+    S = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((C * C + 1, 36), dtype=dtype)
+    )
+    return S[: C * C]
+
+
+# ---------------------------------------------------------------------------
 # the LM solver
 # ---------------------------------------------------------------------------
 
@@ -226,7 +274,9 @@ def solve_ba(
             jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-8
         ))[:, :, None] * jnp.eye(3, dtype=dtype)[None]
         Hpp = Hpp + 1e-9 * jnp.eye(3, dtype=dtype)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        # closed-form batched 3x3 inverse: XLA's LU path costs ~10x more
+        # at this batch size on TPU (see ops/linalg.py)
+        Hpp_inv = inv3x3(Hpp)
 
         # gradients
         g_p = jnp.einsum("pmki,pm,pmk->pi", B, w, r)             # (P, 3)
@@ -250,21 +300,15 @@ def solve_ba(
             red.reshape(-1, 6), flat_c, num_segments=C + 1
         )[:C]
 
-        # reduced camera system S: scatter (cam_m, cam_m') 6x6 blocks in
-        # ONE batched einsum + segment_sum — (P, M, M, 6, 6) is ~19 MB at
-        # the largest LBA bucket, well within HBM, and a single scatter
-        # beats M sequential passes on a latency-bound small problem
+        # reduced camera system S: scatter (cam_m, cam_m') 6x6 blocks via a
+        # batched einsum + segment_sum.  The (Q, M, M, 6, 6) temporary is
+        # ~19 MB at the largest LBA bucket (one shot, Q = P); at GBA scale
+        # (P bucketed from the whole map) it would be hundreds of MB, so
+        # the scatter runs chunked over point slots above a size threshold
+        # — the chunk loop costs a few extra passes only on the big,
+        # compute-bound problems where it doesn't matter.
         Z = jnp.einsum("pij,pmkj->pmik", Hpp_inv, Y)             # (P, M, 3, 6)
-        blk = jnp.einsum("pmik,pnkj->pmnij", Y, Z)               # (P, M, M, 6, 6)
-        ci = cidx[:, :, None]
-        cj = cidx[:, None, :]
-        pair = jnp.where(
-            (ci < C) & (cj < C), ci * C + cj, C * C
-        ).reshape(-1)
-        S = jax.ops.segment_sum(
-            blk.reshape(-1, 36), pair, num_segments=C * C + 1
-        )[: C * C]
-        S = S.reshape(C, C, 6, 6)
+        S = _schur_pair_scatter(Y, Z, cidx, C).reshape(C, C, 6, 6)
         S = -S
         S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
 
@@ -301,7 +345,9 @@ def solve_ba(
         return S_dense, g_hat.reshape(-1), Hpp_inv, Y, g_p, cidx, flat_c
 
     def apply_step(cam_pose, points, S_dense, g_hat, Hpp_inv, Y, g_p, cidx):
-        delta_c = -jnp.linalg.solve(
+        # S is symmetric positive definite after damping: Cholesky beats
+        # the LU lowering ~8x at 6C ~ 200 on TPU (see ops/linalg.py)
+        delta_c = -solve_psd(
             S_dense + 1e-8 * jnp.eye(S_dense.shape[0], dtype=dtype),
             g_hat,
         ).reshape(C, 6)
@@ -377,7 +423,7 @@ def solve_point_only(
         Hpp = jnp.einsum("pmki,pm,pmkj->pij", B, w, B)
         Hpp = Hpp + 1e-6 * jnp.eye(3, dtype=dtype)[None]
         g_p = jnp.einsum("pmki,pm,pmk->pi", B, w, r)
-        delta = -jnp.linalg.solve(Hpp, g_p[..., None])[..., 0]
+        delta = -solve3x3(Hpp, g_p)
         has_obs = jnp.sum(w, axis=1) > 0
         return jnp.where(
             (problem.point_valid & has_obs)[:, None], points + delta, points

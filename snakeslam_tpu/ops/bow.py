@@ -213,15 +213,16 @@ def transform_np(voc: Vocabulary, desc_bits: np.ndarray,
 
     The tree descent over ~1k descriptors is ~2 MFLOP — far below the cost
     of one remote-TPU round trip, so the per-keyframe BoW vector is
-    computed on host.  Numpy copies of the tree are cached on the
-    vocabulary's node array."""
-    key = id(voc.node_bits)
-    cached = _NP_VOC_CACHE.get(key)
-    if cached is None:
-        cached = (np.asarray(voc.node_bits), np.asarray(voc.idf))
+    computed on host.  Numpy copies of the tree are cached keyed by the
+    node array object itself (a strong reference pins it, so its id can
+    never be recycled onto a different vocabulary's array)."""
+    cached = _NP_VOC_CACHE.get(id(voc.node_bits))
+    if cached is None or cached[0] is not voc.node_bits:
+        cached = (voc.node_bits,
+                  np.asarray(voc.node_bits), np.asarray(voc.idf))
         _NP_VOC_CACHE.clear()
-        _NP_VOC_CACHE[key] = cached
-    node_bits, idf = cached
+        _NP_VOC_CACHE[id(voc.node_bits)] = cached
+    _, node_bits, idf = cached
     k, levels = voc.k, voc.levels
     db = np.asarray(desc_bits, dtype=np.float32)            # (N, 256)
     N = db.shape[0]
@@ -261,18 +262,18 @@ def transform_packed_np(voc: Vocabulary, desc_packed: np.ndarray,
     host (320 KB of byte traffic per level instead of 10 MB of f32), which
     matters because the per-keyframe BoW vector sits on the back-end
     critical path.  Same tree, same result as ``transform_np``."""
-    key = id(voc.node_bits)
-    cached = _PACKED_VOC_CACHE.get(key)
-    if cached is None:
+    cached = _PACKED_VOC_CACHE.get(id(voc.node_bits))
+    if cached is None or cached[0] is not voc.node_bits:
         node_bits = np.asarray(voc.node_bits)
         cached = (
+            voc.node_bits,
             np.packbits(node_bits.astype(np.uint8), axis=-1,
                         bitorder="little"),
             np.asarray(voc.idf),
         )
         _PACKED_VOC_CACHE.clear()
-        _PACKED_VOC_CACHE[key] = cached
-    node_packed, idf = cached
+        _PACKED_VOC_CACHE[id(voc.node_bits)] = cached
+    _, node_packed, idf = cached
     k, levels = voc.k, voc.levels
     db = np.ascontiguousarray(desc_packed, dtype=np.uint8)   # (N, 32)
     N = db.shape[0]

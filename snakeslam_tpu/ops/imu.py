@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.core import lie
+from snakeslam_tpu.ops.linalg import solve3x3, solve_psd
 
 GRAVITY = 9.81
 
@@ -149,7 +150,7 @@ def solve_gyro_bias(
     w = valid.astype(r.dtype)
     H = jnp.einsum("kij,k,kil->jl", J, w, J)
     b = jnp.einsum("kij,k,ki->j", J, w, r)
-    dbg = jnp.linalg.solve(H + 1e-9 * jnp.eye(3, dtype=r.dtype), -b)
+    dbg = solve3x3(H + 1e-9 * jnp.eye(3, dtype=r.dtype), -b)
     rms = jnp.sqrt(
         jnp.sum(w * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(w), 1.0)
     )
@@ -235,7 +236,7 @@ def solve_scale_gravity(
     bf = (gamma * w[:, None]).reshape(-1)
     H = Af.T @ Af
     rhs = Af.T @ bf
-    x = jnp.linalg.solve(H + 1e-9 * jnp.eye(nu, dtype=p.dtype), rhs)
+    x = solve_psd(H + 1e-9 * jnp.eye(nu, dtype=p.dtype), rhs)
     s = x[0]
     g = x[1:4]
     ba = x[4:7] if with_acc_bias else jnp.zeros(3, dtype=p.dtype)
@@ -405,7 +406,7 @@ def solve_imu_chain(
         J = J * mask[None, :]
         H = J.T @ J + 1e-6 * jnp.eye(n_state, dtype=dtype)
         b = J.T @ r
-        return x - mask * jnp.linalg.solve(H, b)
+        return x - mask * solve_psd(H, b)
 
     x0 = jnp.zeros(n_state, dtype=dtype).at[: 3 * K].set(
         chain.v.reshape(-1)

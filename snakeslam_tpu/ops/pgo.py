@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.core import lie
+from snakeslam_tpu.ops.linalg import solve3x3, solve_psd
 
 
 class PoseGraph(NamedTuple):
@@ -117,7 +118,7 @@ def solve_pgo(graph: PoseGraph, iterations: int = 20,
         g = g * free[:, None]
 
         Hd = jnp.swapaxes(H, 1, 2).reshape(V * D, V * D)
-        delta = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(V, D)
+        delta = -solve_psd(Hd, g.reshape(-1)).reshape(V, D)
         delta = delta * free[:, None]
         new_poses = jax.vmap(lambda d, T: exp_fn(d) @ T)(delta, poses)
         if not use_sim3:

@@ -39,7 +39,7 @@ def _normalized(cam: Pinhole, uv):
 @functools.partial(
     jax.jit,
     static_argnames=("feature_distance", "epipolar_distance", "error_mono",
-                     "bounds_wh"),
+                     "error_stereo", "bounds_wh"),
 )
 def triangulate_pair(
     feats_a: FrameFeatures,
@@ -57,6 +57,8 @@ def triangulate_pair(
     error_mono: float = ERROR_MONO,
     grid_a: jax.Array | None = None,   # (GH, GW) depth grid for image a
     bounds_wh: tuple = (752.0, 480.0),
+    error_stereo: float = ERROR_STEREO,
+    th_depth: jax.Array | float = 1e9,  # far-point threshold (settings)
 ):
     """Match unmatched features across one KF pair and triangulate.
 
@@ -144,29 +146,80 @@ def triangulate_pair(
         matched = matched | matched2
 
     xb = xn_b[best_idx]
-    X = triangulate_homogeneous(
+
+    # ---- stereo-parallax arbitration (Triangulator.cpp:199-263) --------
+    # Per endpoint, the stereo measurement's own parallax angle
+    # 2*atan2(baseline/2, depth) competes with the pair's ray parallax:
+    # DLT only when the rays beat the better stereo measurement; otherwise
+    # the point is unprojected directly from that endpoint's depth (close
+    # geometry where two-view triangulation is worse than the disparity).
+    disp_a = feats_a.uv[:, 0] - feats_a.right
+    z_a = jnp.where(feats_a.right > 0, bf / jnp.maximum(disp_a, 1e-6), -1.0)
+    disp_b = feats_b.uv[:, 0] - feats_b.right
+    z_b_all = jnp.where(feats_b.right > 0, bf / jnp.maximum(disp_b, 1e-6),
+                        -1.0)
+    z_b = z_b_all[best_idx]
+    stereo1 = z_a > 0
+    stereo2 = z_b > 0
+    baseline = bf / cam.fx
+
+    # ray parallax in world space (from the unprojected directions, not
+    # the triangulated point — Triangulator.cpp:189-198)
+    ray1 = h_a @ T_a[:3, :3]                    # R_a^T xn1
+    h_b_m = h_b[best_idx]
+    ray2 = h_b_m @ T_b[:3, :3]
+    cos_rays = jnp.sum(ray1 * ray2, axis=1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=1) * jnp.linalg.norm(ray2, axis=1), 1e-12
+    )
+    no_stereo = cos_rays + 1.0                  # "worse than any parallax"
+    cos_st1 = jnp.where(
+        stereo1, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0,
+                                           jnp.maximum(z_a, 1e-6))),
+        no_stereo,
+    )
+    # reference quirk kept verbatim: stereo2's angle is only computed when
+    # endpoint 1 has no stereo (the `else if`, Triangulator.cpp:204-207)
+    cos_st2 = jnp.where(
+        (~stereo1) & stereo2,
+        jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(z_b, 1e-6))),
+        no_stereo,
+    )
+    cos_st = jnp.minimum(cos_st1, cos_st2)
+
+    use_dlt = ((cos_rays < cos_st) & (cos_rays > 0)
+               & (stereo1 | stereo2 | (cos_rays < 0.9998)))
+    use_s1 = (~use_dlt) & stereo1 & (cos_st1 < cos_st2)
+    use_s2 = (~use_dlt) & (~use_s1) & stereo2 & (cos_st2 < cos_st1)
+    tri_ok = use_dlt | use_s1 | use_s2
+
+    X_dlt = triangulate_homogeneous(
         jnp.broadcast_to(T_a, (N, 4, 4)),
         jnp.broadcast_to(T_b, (N, 4, 4)),
         xn_a, xb,
     )
+    zs_a = jnp.maximum(z_a, 1e-6)
+    X_s1 = lie.transform_points(
+        lie.se3_inverse(T_a),
+        jnp.concatenate([xn_a * zs_a[:, None], zs_a[:, None]], axis=1),
+    )
+    zs_b = jnp.maximum(z_b, 1e-6)
+    X_s2 = lie.transform_points(
+        lie.se3_inverse(T_b),
+        jnp.concatenate([xb * zs_b[:, None], zs_b[:, None]], axis=1),
+    )
+    X = jnp.where(use_s1[:, None], X_s1,
+                  jnp.where(use_s2[:, None], X_s2, X_dlt))
+    far_away = (use_s1 & (z_a > th_depth)) | (use_s2 & (z_b > th_depth))
 
-    # gates (Triangulator.cpp:113-294)
+    # gates (Triangulator.cpp:239-283)
     pa = lie.transform_points(T_a, X)
     pb = lie.transform_points(T_b, X)
     za, zb = pa[:, 2], pb[:, 2]
     front = (za > 1e-3) & (zb > 1e-3)
 
-    # parallax: require > ~0.57 deg between rays
-    ca = lie.translation(lie.se3_inverse(T_a))
-    cb = lie.translation(lie.se3_inverse(T_b))
-    ra = X - ca
-    rb = X - cb
-    cosp = jnp.sum(ra * rb, axis=1) / jnp.maximum(
-        jnp.linalg.norm(ra, axis=1) * jnp.linalg.norm(rb, axis=1), 1e-12
-    )
-    parallax_ok = cosp < 0.99995
-
-    # two-sided chi2 with per-octave sigma
+    # two-sided chi2 with per-octave sigma; stereo-visible endpoints get
+    # the 3-dof projectStereo residual and the stereo threshold
+    # (Triangulator.cpp:247-270)
     zsa = jnp.where(front, za, 1.0)
     zsb = jnp.where(front, zb, 1.0)
     ua = jnp.stack([cam.fx * pa[:, 0] / zsa + cam.cx,
@@ -175,27 +228,36 @@ def triangulate_pair(
                     cam.fy * pb[:, 1] / zsb + cam.cy], axis=1)
     La = jnp.clip(feats_a.octave, 0, scales.shape[0] - 1)
     Lb = jnp.clip(feats_b.octave[best_idx], 0, scales.shape[0] - 1)
-    ea2 = jnp.sum((ua - feats_a.uv) ** 2, axis=1) * inv_sigma2[La]
-    eb2 = jnp.sum(
-        (ub - feats_b.uv[best_idx]) ** 2, axis=1
-    ) * inv_sigma2[Lb]
-    chi_ok = (ea2 <= error_mono**2) & (eb2 <= error_mono**2)
+    er_a = (ua[:, 0] - bf / zsa) - feats_a.right
+    er_b = (ub[:, 0] - bf / zsb) - feats_b.right[best_idx]
+    ea2 = (jnp.sum((ua - feats_a.uv) ** 2, axis=1)
+           + jnp.where(stereo1, er_a**2, 0.0)) * inv_sigma2[La]
+    eb2 = (jnp.sum((ub - feats_b.uv[best_idx]) ** 2, axis=1)
+           + jnp.where(stereo2, er_b**2, 0.0)) * inv_sigma2[Lb]
+    th_a = jnp.where(stereo1, error_stereo**2, error_mono**2)
+    th_b = jnp.where(stereo2, error_stereo**2, error_mono**2)
+    chi_ok = (ea2 <= th_a) & (eb2 <= th_b)
 
     # scale consistency: distance ratio must match octave scale ratio
-    dist_a = jnp.linalg.norm(ra, axis=1)
-    dist_b = jnp.linalg.norm(rb, axis=1)
+    # (orientation matches the reference: the FARTHER endpoint sees the
+    # feature at a FINER octave, Triangulator.cpp:277-283)
+    ca = lie.translation(lie.se3_inverse(T_a))
+    cb = lie.translation(lie.se3_inverse(T_b))
+    dist_a = jnp.linalg.norm(X - ca, axis=1)
+    dist_b = jnp.linalg.norm(X - cb, axis=1)
     ratio_dist = dist_a / jnp.maximum(dist_b, 1e-9)
-    ratio_oct = scales[La] / scales[Lb]
+    ratio_oct = scales[Lb] / scales[La]
     factor = 1.5 * scales[1] if scales.shape[0] > 1 else 1.8
     scale_ok = (ratio_dist < ratio_oct * factor) & (
         ratio_dist * factor > ratio_oct
     )
 
-    valid = matched & front & parallax_ok & chi_ok & scale_ok
+    valid = matched & tri_ok & front & chi_ok & scale_ok
     return {
         "match_b": jnp.where(valid, best_idx, -1),
         "point": X,
         "valid": valid,
+        "far_away": valid & far_away,
         "n_new": jnp.sum(valid),
     }
 
@@ -207,3 +269,11 @@ triangulate_pairs_batch = jax.jit(
         in_axes=(None, 0, None, 0, None, 0, None, None, None, None),
     )
 )
+
+
+def stereo_depth_parallax(bf, fx, depth):
+    """cos of the stereo measurement's own parallax angle (numpy oracle
+    helper for tests): cos(2 atan2(baseline/2, depth))."""
+    import numpy as np
+
+    return np.cos(2.0 * np.arctan2((bf / fx) / 2.0, depth))

@@ -80,6 +80,26 @@ class GlobalBA:
         self.bf = jnp.float32(settings.bf)
         self.pyramid = ScalePyramid.create(settings.fd_levels,
                                            settings.fd_scale_factor)
+        # multi-chip: with n_devices > 1 FullBA runs through the sharded
+        # dp-mesh solver — points/observations sharded over the mesh, the
+        # reduced camera system psum'ed over ICI (parallel/multichip.py)
+        self._mesh = None
+        self._sharded_fns: dict = {}
+        if getattr(settings, "n_devices", 1) > 1:
+            if len(jax.devices()) >= settings.n_devices:
+                from snakeslam_tpu.parallel import multichip as MC
+
+                self._mesh = MC.make_mesh(settings.n_devices)
+
+    def _sharded_full_ba(self, problem, iterations: int):
+        from snakeslam_tpu.parallel import multichip as MC
+
+        fn = self._sharded_fns.get(iterations)
+        if fn is None:
+            fn = MC.sharded_ba_step(self._mesh, self.cam, self.bf,
+                                    n_iters=iterations)
+            self._sharded_fns[iterations] = fn
+        return fn(MC.shard_problem(problem, self._mesh))
 
     # ------------------------------------------------------------------
 
@@ -161,9 +181,13 @@ class GlobalBA:
         if smap.n_keyframes < 2 or smap.n_points < 20:
             return
         problem, aux = self.pack_full()
-        cam_pose, points, cost = BA.solve_ba(
-            problem, self.cam, self.bf, iterations=iterations
-        )
+        if self._mesh is not None:
+            cam_pose, points = self._sharded_full_ba(problem, iterations)
+            cost = float("nan")
+        else:
+            cam_pose, points, cost = BA.solve_ba(
+                problem, self.cam, self.bf, iterations=iterations
+            )
         cam_pose = np.asarray(cam_pose, dtype=np.float64)
         points = np.asarray(points, dtype=np.float64)
         smap.kf_pose[aux["kfs"]] = cam_pose[: len(aux["kfs"])]

@@ -32,6 +32,7 @@ from snakeslam_tpu.core import lie
 from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.ops import ba as BA
 from snakeslam_tpu.ops.descriptors import hamming_matrix
+from snakeslam_tpu.ops.linalg import inv3x3, solve_psd
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -95,7 +96,7 @@ def sharded_ba_step(mesh: Mesh, cam: Pinhole, bf, n_iters: int = 1,
             Pp, M = w.shape
             Hpp = jnp.einsum("pmki,pm,pmkj->pij", Bj, w, Bj)
             Hpp = Hpp + (lam + 1e-6) * jnp.eye(3, dtype=dtype)[None]
-            Hpp_inv = jnp.linalg.inv(Hpp)
+            Hpp_inv = inv3x3(Hpp)
             g_p = jnp.einsum("pmki,pm,pmk->pi", Bj, w, r)
             g_c_obs = jnp.einsum("pmki,pm,pmk->pmi", A, w, r)
             Hcc_obs = jnp.einsum("pmki,pm,pmkj->pmij", A, w, A)
@@ -166,7 +167,7 @@ def sharded_ba_step(mesh: Mesh, cam: Pinhole, bf, n_iters: int = 1,
             )
             g_hat = g_hat * free[:, None]
             S_dense = jnp.swapaxes(S, 1, 2).reshape(6 * C, 6 * C)
-            delta_c = -jnp.linalg.solve(
+            delta_c = -solve_psd(
                 S_dense + 1e-8 * jnp.eye(6 * C, dtype=dtype),
                 g_hat.reshape(-1),
             ).reshape(C, 6) * free[:, None]

@@ -91,6 +91,10 @@ class Settings:
     weight_acc_tracking: float = 0.1
 
     # ====== framework capacities (fixed shapes; TPU-specific) ======
+    # devices for the sharded global-BA path (parallel/multichip.py):
+    # >1 routes GlobalBA.full_ba through the dp-mesh sharded solver
+    # (points/observations sharded, camera system psum'ed over ICI)
+    n_devices: int = 1
     max_keyframes: int = 2048
     max_points: int = 262144
     feature_slots: int = 1024       # device-side feature slot count
@@ -161,9 +165,9 @@ class Settings:
         "IMU": ["enable_imu", "weight_gyro_initialization",
                 "weight_gyro_optimization", "weight_gyro_tracking",
                 "weight_acc_optimization", "weight_acc_tracking"],
-        "Capacity": ["max_keyframes", "max_points", "feature_slots",
-                     "local_map_slots", "lba_cam_slots", "lba_point_slots",
-                     "lba_obs_slots"],
+        "Capacity": ["n_devices", "max_keyframes", "max_points",
+                     "feature_slots", "local_map_slots", "lba_cam_slots",
+                     "lba_point_slots", "lba_obs_slots"],
     }
     _DATASET_KEYS = ["dataset_dir", "playback_fps", "playback_paced",
                      "start_frame",

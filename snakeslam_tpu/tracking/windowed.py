@@ -167,6 +167,16 @@ class WindowedRunner:
             f.result()
         self._commit_backend()
 
+    def _backend_ready(self) -> bool:
+        """Gate for the deterministic commit+refresh point.  Inline mode is
+        always ready — the commit blocks if the cycle hasn't landed, which
+        is deterministic (a fixed point in the consume schedule) and rare
+        (the cycle overlapped a full window round trip).  Async mode waits
+        for the worker (no determinism claim there)."""
+        if self._pool is None:
+            return True
+        return self._idle()
+
     def _idle(self) -> bool:
         """True once all back-end work has completed AND its results are in
         the map (committing a ready inline cycle on the way)."""
@@ -369,31 +379,14 @@ class WindowedRunner:
                 inflight.clear()
                 failed_at = item.start
                 break
-            got_kf = None
-            for it, (outs, assign, vis, fnd) in group:
-                r = self._consume(it, outs, assign, vis, fnd)
-                if r is not None and r is not True and r < 0:
-                    got_kf = r
-                    break
-                consumed_to = it.start + len(it.batch)
-                if r:
-                    got_kf = True
-            if got_kf is not None and got_kf is not True and got_kf < 0:
-                # tracking failed inside this window at frame -(got_kf+1)
-                failed_at = -(got_kf + 1)
-                inflight.clear()
-                break
-            if got_kf:
-                # run the mapping back-ends: pipelined dispatch inline,
-                # queued on the worker thread in async mode — either way
-                # their device time overlaps the in-flight windows
-                if self._pool is None:
-                    self._dispatch_backend_cycles()
-                else:
-                    self._submit(t.local_mapper.flush_deferred)
-                refresh_due = True
-            if refresh_due and self._idle():
+            if refresh_due and self._backend_ready():
+                # deterministic commit point: the pending back-end cycle was
+                # dispatched in an EARLIER loop iteration, so its readback
+                # overlapped the blocking window fetch above — commit is a
+                # fixed point in the consume schedule (never an is_ready()
+                # wall-clock poll), and usually free by now
                 refresh_due = False
+                self._commit_backend()
                 if getattr(t.map, "n_transforms", 0) != transforms_before:
                     # a loop correction re-based the map: already-consumed
                     # poses were rebased by the tracker's transform
@@ -419,6 +412,33 @@ class WindowedRunner:
                     carry = (carry[0], carry[1],
                              carry[2].at[8].set(jnp.float32(max(med, 1e-3))),
                              carry[3])
+                # on stop_dispatch the fetched group is still consumed
+                # below; top_up() dispatches nothing and run() restarts
+            got_kf = None
+            for it, (outs, assign, vis, fnd) in group:
+                r = self._consume(it, outs, assign, vis, fnd)
+                if r is not None and r is not True and r < 0:
+                    got_kf = r
+                    break
+                consumed_to = it.start + len(it.batch)
+                if r:
+                    got_kf = True
+            if got_kf is not None and got_kf is not True and got_kf < 0:
+                # tracking failed inside this window at frame -(got_kf+1)
+                failed_at = -(got_kf + 1)
+                inflight.clear()
+                break
+            if got_kf:
+                # run the mapping back-ends: pipelined dispatch inline,
+                # queued on the worker thread in async mode — either way
+                # their device time overlaps the in-flight windows; the
+                # commit + snapshot refresh happen at the deterministic
+                # point after the NEXT blocking window fetch (above)
+                if self._pool is None:
+                    self._dispatch_backend_cycles()
+                else:
+                    self._submit(t.local_mapper.flush_deferred)
+                refresh_due = True
             top_up()
 
         if failed_at >= 0:
@@ -474,7 +494,13 @@ class WindowedRunner:
             frame.pose_cw = poses[w]
             frame.matches = matches_all[w, : frame.n].copy()
             frame.outlier = np.zeros(frame.n, dtype=bool)
-            frame.ref_kf = t.last_kf
+            if self._pool is None:
+                frame.ref_kf = t.last_kf
+            else:
+                # async mode: last_kf is written by the worker thread during
+                # queued insertions — read it there too, serialized after
+                # any insertion queued for an earlier frame
+                self._submit(self._set_ref_kf, frame)
             t.last_tracked_frame = frame
             t.last_frame = frame
             t.trajectory.append(frame)
@@ -492,6 +518,9 @@ class WindowedRunner:
         _update_velocity(len(item.batch))
         self._submit(self._commit_stats, lm_ids, vis, fnd)
         return True if inserted else None
+
+    def _set_ref_kf(self, frame):
+        frame.ref_kf = self.tracker.last_kf
 
     def _insert_kf_task(self, frame):
         """Worker-thread keyframe insertion (async mode)."""

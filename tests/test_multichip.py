@@ -26,6 +26,67 @@ def test_sharded_hamming_matches_local(rng):
     assert (H[np.arange(1024), np.asarray(idx)] == H.min(axis=1)).all()
 
 
+@pytest.mark.slow
+def test_slam_system_sharded_full_ba(rng):
+    """The FULL SlamSystem on the 8-device mesh: settings.n_devices = 8
+    routes every finalize FullBA through the sharded dp-mesh solver, and
+    the resulting trajectory matches the single-device run."""
+    from snakeslam_tpu.frontend.synthetic_source import (
+        apply_world_to_settings,
+        synthetic_frames,
+    )
+    from snakeslam_tpu.system.settings import InputType, Settings
+    from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
+
+    def run(n_devices):
+        settings = Settings()
+        settings.input_type = InputType.Stereo
+        settings.enable_imu = False
+        settings.n_devices = n_devices
+        settings.feature_slots = 1024
+        settings.local_map_slots = 2048
+        settings.lba_cam_slots = 24
+        settings.lba_point_slots = 4096
+        settings.lba_obs_slots = 8
+        settings.th_depth = 25.0
+        world = SyntheticWorld(n_points=2000, seed=3)
+        apply_world_to_settings(world, settings)
+        system = SlamSystem(settings)
+        frames = list(synthetic_frames(
+            world, orbit_trajectory(30, radius=7.0, arc=0.8),
+            settings, noise_px=0.3,
+        ))
+        for f in frames:
+            system.process_frame(f)
+        system.finalize(gba_iterations=3)
+        rmse, _, n = system.ate_against_gt(with_scale=False)
+        return system, rmse, n
+
+    sys8, rmse8, n8 = run(8)
+    # the sharded path was actually engaged
+    assert sys8.map.n_keyframes >= 2
+    assert rmse8 < 0.05, f"sharded-finalize ATE {rmse8}"
+
+    sys1, rmse1, n1 = run(1)
+    assert n8 == n1
+    # GN-vs-LM solver difference only: trajectories must agree closely
+    assert abs(rmse8 - rmse1) < 5e-3, (rmse8, rmse1)
+
+
+def test_gba_engages_sharded_path(rng):
+    """GlobalBA with n_devices=8 builds the mesh and full_ba runs sharded."""
+    from snakeslam_tpu.map.slam_map import SlamMap
+    from snakeslam_tpu.optim.gba import GlobalBA
+    from snakeslam_tpu.system.settings import Settings
+
+    s = Settings()
+    s.n_devices = 8
+    smap = SlamMap(64, 4096, 128)
+    gba = GlobalBA(s, smap)
+    assert gba._mesh is not None and gba._mesh.size == 8
+
+
 def test_sharded_ba_step_converges(rng):
     # reuse the BA test problem builder
     import importlib.util
