@@ -235,16 +235,18 @@ class LoopClosing:
         fixed[kf_index[cand]] = True
         fixed[kf_index[kf]] = True
 
+        # f64 when the runtime allows it (tests enable x64; the TPU path
+        # runs f32) -- asking for f64 under a disabled-x64 runtime warns
+        # and truncates anyway, so pick the dtype explicitly
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         graph = PoseGraph(
-            poses=jnp.asarray(poses, dtype=jnp.float64),
+            poses=jnp.asarray(poses, dtype=fdt),
             fixed=jnp.asarray(fixed),
             valid=jnp.ones(V, dtype=bool),
             edge_i=jnp.asarray([e[0] for e in edges], dtype=jnp.int32),
             edge_j=jnp.asarray([e[1] for e in edges], dtype=jnp.int32),
-            edge_T=jnp.asarray(np.stack([e[2] for e in edges]),
-                               dtype=jnp.float64),
-            edge_weight=jnp.asarray([e[3] for e in edges],
-                                    dtype=jnp.float64),
+            edge_T=jnp.asarray(np.stack([e[2] for e in edges]), dtype=fdt),
+            edge_weight=jnp.asarray([e[3] for e in edges], dtype=fdt),
             edge_valid=jnp.ones(E, dtype=bool),
         )
         new_poses, cost = solve_pgo(graph, iterations=25, use_sim3=use_sim3)

@@ -33,18 +33,24 @@ def _bucket(n: int, minimum: int = 4096) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _gather_points(pos, normal, desc_packed, ref_depth, ref_level, ids, valid,
-                   angle, octave_override, use_override):
-    idx = jnp.clip(ids, 0, pos.shape[0] - 1)
+def _gather_points(table, ids, valid, angle, octave_override, use_override):
+    """table: (cap, 16) f32 rows = [pos3 | normal3 | depth | level |
+    desc bitcast f32 x8].  ONE H2D buffer per sync instead of five — the
+    tunnel pays per-transfer latency, not per-byte."""
+    idx = jnp.clip(ids, 0, table.shape[0] - 1)
+    rows = table[idx]
     lvl = jnp.where(use_override, octave_override,
-                    ref_level[idx].astype(jnp.int32))
+                    rows[:, 7].astype(jnp.int32))
     # descriptors live packed (32 B) in the mirror — 8x less HBM/H2D —
     # and expand to bit planes on device only for the gathered subset
+    desc_packed = jax.lax.bitcast_convert_type(
+        rows[:, 8:16], jnp.uint8
+    ).reshape(rows.shape[0], 32)
     return LocalMapPoints(
-        position=pos[idx],
-        normal=normal[idx],
-        desc_bits=unpack_bits(desc_packed[idx]).astype(jnp.int8),
-        ref_depth=ref_depth[idx],
+        position=rows[:, :3],
+        normal=rows[:, 3:6],
+        desc_bits=unpack_bits(desc_packed).astype(jnp.int8),
+        ref_depth=rows[:, 6],
         ref_level=lvl,
         angle=angle,
         valid=valid,
@@ -65,13 +71,14 @@ class DeviceMapMirror:
             return
         n = max(smap._next_pt, 1)
         cap = _bucket(n)
-        self._arrays = (
-            jnp.asarray(smap.pt_pos[:cap], dtype=jnp.float32),
-            jnp.asarray(smap.pt_normal[:cap]),
-            jnp.asarray(smap.pt_desc[:cap]),  # packed 32 B/descriptor
-            jnp.asarray(smap.pt_ref_depth[:cap]),
-            jnp.asarray(smap.pt_ref_level[:cap].astype(np.int32)),
-        )
+        table = np.empty((cap, 16), dtype=np.float32)
+        table[:, :3] = smap.pt_pos[:cap]
+        table[:, 3:6] = smap.pt_normal[:cap]
+        table[:, 6] = smap.pt_ref_depth[:cap]
+        table[:, 7] = smap.pt_ref_level[:cap]
+        table[:, 8:16] = np.ascontiguousarray(
+            smap.pt_desc[:cap]).view(np.float32)
+        self._arrays = jnp.asarray(table)
         self.capacity = cap
         self.synced_state = smap.state
 
@@ -93,7 +100,7 @@ class DeviceMapMirror:
         if use_override:
             octv[:n] = octaves[:n]
         lm = _gather_points(
-            *self._arrays,
+            self._arrays,
             jnp.asarray(ids_pad), jnp.asarray(valid), jnp.asarray(ang),
             jnp.asarray(octv), jnp.asarray(bool(use_override)),
         )

@@ -60,6 +60,72 @@ class BAProblem(NamedTuple):
     rpc_valid: jax.Array     # (R,) bool
 
 
+import numpy as _np
+
+
+@functools.partial(jax.jit, static_argnames=("C", "P", "M", "R"))
+def _unflatten_problem(flat: jax.Array, C: int, P: int, M: int, R: int):
+    o = 0
+
+    def take(n, shape, dtype=jnp.float32):
+        nonlocal o
+        x = flat[o:o + n].reshape(shape)
+        o += n
+        if dtype is jnp.float32:
+            return x
+        if dtype is jnp.bool_:
+            return x > 0.5
+        return x.astype(dtype)
+
+    return BAProblem(
+        cam_pose=take(C * 16, (C, 4, 4)),
+        cam_fixed=take(C, (C,), jnp.bool_),
+        cam_valid=take(C, (C,), jnp.bool_),
+        points=take(P * 3, (P, 3)),
+        point_valid=take(P, (P,), jnp.bool_),
+        obs_cam=take(P * M, (P, M), jnp.int32),
+        obs_uv=take(P * M * 2, (P, M, 2)),
+        obs_right=take(P * M, (P, M)),
+        obs_weight=take(P * M, (P, M)),
+        obs_valid=take(P * M, (P, M), jnp.bool_),
+        rpc_i=take(R, (R,), jnp.int32),
+        rpc_j=take(R, (R,), jnp.int32),
+        rpc_T=take(R * 16, (R, 4, 4)),
+        rpc_weight=take(R * 6, (R, 6)),
+        rpc_valid=take(R, (R,), jnp.bool_),
+    )
+
+
+def problem_to_device(cam_pose, cam_fixed, cam_valid, points, point_valid,
+                      obs_cam, obs_uv, obs_right, obs_weight, obs_valid,
+                      rpc_i, rpc_j, rpc_T, rpc_weight,
+                      rpc_valid) -> BAProblem:
+    """Host numpy arrays -> device BAProblem through ONE flat f32 upload.
+
+    Sixteen small jnp.asarray transfers cost sixteen tunnel round-trip
+    latencies; one concatenated buffer plus a jitted unflatten costs one.
+    int/bool fields ride as f32 (ids < 2^24, exact)."""
+    f = _np.float32
+    flat = _np.concatenate([
+        _np.ascontiguousarray(cam_pose, f).ravel(),
+        cam_fixed.astype(f), cam_valid.astype(f),
+        _np.ascontiguousarray(points, f).ravel(),
+        point_valid.astype(f),
+        obs_cam.astype(f).ravel(),
+        _np.ascontiguousarray(obs_uv, f).ravel(),
+        obs_right.astype(f).ravel(), obs_weight.astype(f).ravel(),
+        obs_valid.astype(f).ravel(),
+        rpc_i.astype(f), rpc_j.astype(f),
+        _np.ascontiguousarray(rpc_T, f).ravel(),
+        _np.ascontiguousarray(rpc_weight, f).ravel(),
+        rpc_valid.astype(f),
+    ])
+    return _unflatten_problem(
+        jnp.asarray(flat), cam_pose.shape[0], points.shape[0],
+        obs_cam.shape[1], len(rpc_i),
+    )
+
+
 def empty_rpc(dtype=jnp.float32):
     return dict(
         rpc_i=jnp.zeros((1,), dtype=jnp.int32),

@@ -183,11 +183,11 @@ def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
 BRIEF_PATTERN = _make_brief_pattern()
 
 
-def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
-    """k x k box filter (separable) — the BRIEF pre-smoothing."""
-    kernel = jnp.ones((k,), dtype=img.dtype) / k
+def box_blur_batch(imgs: jax.Array, k: int = 7) -> jax.Array:
+    """(B, H, W) k x k box filter (separable) — the BRIEF pre-smoothing."""
+    kernel = jnp.ones((k,), dtype=imgs.dtype) / k
     out = jax.lax.conv_general_dilated(
-        img[None, None], kernel[None, None, :, None],
+        imgs[:, None], kernel[None, None, :, None],
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
@@ -196,7 +196,12 @@ def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out[0, 0]
+    return out[:, 0]
+
+
+def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
+    """k x k box filter (separable) — the BRIEF pre-smoothing."""
+    return box_blur_batch(img[None], k)[0]
 
 
 def brief_descriptors(img_blur: jax.Array, uv: jax.Array,
@@ -261,9 +266,36 @@ def extract_orb(
         ops/orb_pallas.py).
     Returns OrbFeatures with n_features slots (coords in level-0 pixels).
     """
+    out = extract_orb_batch(image[None], n_features, levels, scale_factor,
+                            threshold, use_pallas)
+    return OrbFeatures(*[x[0] for x in out])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_features", "levels", "scale_factor",
+                              "threshold", "use_pallas"),
+)
+def extract_orb_batch(
+    images: jax.Array,
+    n_features: int = 1000,
+    levels: int = 4,
+    scale_factor: float = 1.2,
+    threshold: float = 20.0,
+    use_pallas: bool | None = None,
+):
+    """Batched ORB: (B, H, W) images -> OrbFeatures with leading B.
+
+    The throughput path of the front-end (the analog of the reference's
+    CUDA extractor pipelining frames, FeatureDetector.cpp:28-42,119): a
+    whole frame window is extracted in ONE dispatch — the Pallas FAST
+    kernel takes the batch stacked vertically in a single launch, and
+    every other stage (resize, NMS, selection, orientation, BRIEF) is
+    batch-vectorized XLA, so per-dispatch overhead and small-op latency
+    amortize over B frames.
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    H, W = image.shape
+    B, H, W = images.shape
     # per-level feature budget ~ geometric (like the reference's
     # distribution over octaves)
     inv = [scale_factor ** (-i) for i in range(levels)]
@@ -272,40 +304,44 @@ def extract_orb(
     budgets[0] += n_features - sum(budgets)
 
     all_feats = []
-    img_l = image
+    imgs_l = images
     for lvl in range(levels):
         scale = scale_factor**lvl
         if lvl > 0:
             h = int(round(H / scale))
             w = int(round(W / scale))
-            img_l = jax.image.resize(image, (h, w), method="linear")
+            imgs_l = jax.image.resize(images, (B, h, w), method="linear")
         if use_pallas:
-            from snakeslam_tpu.ops.orb_pallas import fast_score_pallas
+            from snakeslam_tpu.ops.orb_pallas import fast_score_pallas_batch
 
-            score, _ = fast_score_pallas(img_l, threshold)
+            score, _ = fast_score_pallas_batch(imgs_l, threshold)
         else:
-            score, _ = fast_score(img_l, threshold)
-        score = nms3(score)
-        uv, resp, valid = select_keypoints(score, budgets[lvl])
-        ang = orientations(img_l, uv)
-        blur = box_blur(img_l)
-        bits = brief_descriptors(blur, uv, ang)
+            score, _ = jax.vmap(lambda im: fast_score(im, threshold))(imgs_l)
+        score = jax.vmap(nms3)(score)
+        uv, resp, valid = jax.vmap(
+            lambda s: select_keypoints(s, budgets[lvl])
+        )(score)
+        ang = jax.vmap(orientations)(imgs_l, uv)
+        blur = box_blur_batch(imgs_l)
+        bits = jax.vmap(brief_descriptors)(blur, uv, ang)
         all_feats.append(
-            (uv * scale, resp, jnp.full(uv.shape[0], lvl, dtype=jnp.int32),
-             ang, bits, valid)
+            (uv * scale, resp,
+             jnp.full(uv.shape[:2], lvl, dtype=jnp.int32), ang, bits, valid)
         )
 
-    uv = jnp.concatenate([f[0] for f in all_feats])
-    resp = jnp.concatenate([f[1] for f in all_feats])
-    octv = jnp.concatenate([f[2] for f in all_feats])
-    ang = jnp.concatenate([f[3] for f in all_feats])
-    bits = jnp.concatenate([f[4] for f in all_feats])
-    valid = jnp.concatenate([f[5] for f in all_feats])
+    uv = jnp.concatenate([f[0] for f in all_feats], axis=1)
+    resp = jnp.concatenate([f[1] for f in all_feats], axis=1)
+    octv = jnp.concatenate([f[2] for f in all_feats], axis=1)
+    ang = jnp.concatenate([f[3] for f in all_feats], axis=1)
+    bits = jnp.concatenate([f[4] for f in all_feats], axis=1)
+    valid = jnp.concatenate([f[5] for f in all_feats], axis=1)
 
-    # compact to exactly n_features slots, strongest first
+    # compact to exactly n_features slots per frame, strongest first
     order_key = jnp.where(valid, resp, -1.0)
-    _, idx = jax.lax.top_k(order_key, n_features)
+    _, idx = jax.lax.top_k(order_key, n_features)      # (B, n_features)
+    take = jax.vmap(lambda x, i: x[i])
     return OrbFeatures(
-        uv=uv[idx], response=resp[idx], octave=octv[idx], angle=ang[idx],
-        desc_bits=bits[idx], valid=valid[idx],
+        uv=take(uv, idx), response=take(resp, idx), octave=take(octv, idx),
+        angle=take(ang, idx), desc_bits=take(bits, idx),
+        valid=take(valid, idx),
     )

@@ -31,8 +31,12 @@ BAND = 64        # rows per grid program
 HALO = 4         # >= FAST ring radius (3), even for sublane alignment
 
 
-def _fast_kernel(H: int, W: int, threshold: float,
+def _fast_kernel(H: int, W: int, threshold: float, slot_rows: int,
                  img_hbm, score_ref, corner_ref, scratch, sem):
+    """slot_rows: per-image row pitch when several images are stacked
+    vertically in one buffer (slot_rows == padded total for a single
+    image).  The border mask uses per-image local coordinates so stacked
+    neighbors can never leak corners into each other."""
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         img_hbm.at[pl.ds(i * BAND, BAND + 2 * HALO)], scratch, sem)
@@ -68,11 +72,12 @@ def _fast_kernel(H: int, W: int, threshold: float,
         return (acc & 0xFFFF) != 0
 
     corner = arc9(bits_b) | arc9(bits_d)
-    # border mask in GLOBAL image coordinates (W excludes lane padding)
+    # border mask in per-image coordinates (W excludes lane padding)
     yy = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) \
         + i * BAND - HALO
+    y_img = yy % slot_rows
     xx = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
-    border = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    border = (y_img >= 3) & (y_img < H - 3) & (xx >= 3) & (xx < W - 3)
     corner = corner & border
     score = jnp.where(corner, jnp.maximum(sum_b, sum_d), 0.0)
     score_ref[:] = score[HALO:HALO + BAND]
@@ -83,24 +88,42 @@ def _fast_kernel(H: int, W: int, threshold: float,
 def fast_score_pallas(img: jax.Array, threshold: float = 20.0,
                       interpret: bool | None = None):
     """FAST score via the Pallas kernel. Matches ops/orb.fast_score."""
+    score, corner = fast_score_pallas_batch(img[None], threshold, interpret)
+    return score[0], corner[0]
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def fast_score_pallas_batch(imgs: jax.Array, threshold: float = 20.0,
+                            interpret: bool | None = None):
+    """Batched FAST: (B, H, W) images -> (B, H, W) scores + corner masks.
+
+    The batch stacks vertically into ONE banded kernel launch: each image
+    occupies a band-aligned row slot, and the kernel's border mask works in
+    per-image coordinates, so a frame window costs one pallas_call instead
+    of B (the win is grid-level pipelining of the band DMAs, plus one
+    dispatch on the host side)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    img = img.astype(jnp.float32)
-    H, W = img.shape
-    n_bands = -(-H // BAND)
-    Hp = n_bands * BAND + 2 * HALO
-    Wp = -(-W // 128) * 128      # lane-dim alignment
-    padded = jnp.zeros((Hp, Wp), dtype=jnp.float32)
-    padded = jax.lax.dynamic_update_slice(padded, img, (HALO, 0))
+    imgs = imgs.astype(jnp.float32)
+    B, H, W = imgs.shape
+    bands_per_img = -(-H // BAND)
+    S = bands_per_img * BAND              # per-image row slot (band-aligned)
+    n_bands = B * bands_per_img
+    Wp = -(-W // 128) * 128               # lane-dim alignment
+    padded = jnp.zeros((n_bands * BAND + 2 * HALO, Wp), dtype=jnp.float32)
+    imgs_p = jnp.pad(imgs, ((0, 0), (0, S - H), (0, Wp - W)))
+    padded = jax.lax.dynamic_update_slice(
+        padded, imgs_p.reshape(B * S, Wp), (HALO, 0)
+    )
 
     score, corner = pl.pallas_call(
-        functools.partial(_fast_kernel, H, W, float(threshold)),
+        functools.partial(_fast_kernel, H, W, float(threshold), S),
         grid=(n_bands,),
         out_shape=(
             jax.ShapeDtypeStruct((n_bands * BAND, Wp), jnp.float32),
             jax.ShapeDtypeStruct((n_bands * BAND, Wp), jnp.bool_),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((BAND, Wp), lambda i: (i, 0)),
             pl.BlockSpec((BAND, Wp), lambda i: (i, 0)),
@@ -111,4 +134,6 @@ def fast_score_pallas(img: jax.Array, threshold: float = 20.0,
         ],
         interpret=interpret,
     )(padded)
-    return score[:H, :W], corner[:H, :W]
+    score = score.reshape(B, S, Wp)[:, :H, :W]
+    corner = corner.reshape(B, S, Wp)[:, :H, :W]
+    return score, corner

@@ -135,7 +135,11 @@ class GlobalBA:
 
         # IMU relative-pose constraints over the whole keyframe chain
         # (GlobalBundleAdjustment.cpp:427-481)
-        rpc_kw = BA.empty_rpc()
+        rpc_i = np.zeros(1, dtype=np.int32)
+        rpc_j = np.zeros(1, dtype=np.int32)
+        rpc_T = np.tile(np.eye(4, dtype=F32), (1, 1, 1))
+        rpc_w = np.zeros((1, 6), dtype=F32)
+        rpc_valid = np.zeros(1, dtype=bool)
         if self.imu_solver is not None:
             rpc = self.imu_solver.rpc_for_window([int(k) for k in kfs])
             if rpc:
@@ -152,24 +156,12 @@ class GlobalBA:
                     rpc_w[r, :3] = w_t
                     rpc_w[r, 3:] = w_r
                     rpc_valid[r] = True
-                rpc_kw = dict(
-                    rpc_i=jnp.asarray(rpc_i), rpc_j=jnp.asarray(rpc_j),
-                    rpc_T=jnp.asarray(rpc_T), rpc_weight=jnp.asarray(rpc_w),
-                    rpc_valid=jnp.asarray(rpc_valid),
-                )
 
-        problem = BA.BAProblem(
-            cam_pose=jnp.asarray(cam_pose),
-            cam_fixed=jnp.asarray(cam_fixed),
-            cam_valid=jnp.asarray(cam_valid),
-            points=jnp.asarray(points),
-            point_valid=jnp.asarray(point_valid),
-            obs_cam=jnp.asarray(obs["obs_cam"]),
-            obs_uv=jnp.asarray(obs["obs_uv"]),
-            obs_right=jnp.asarray(obs["obs_right"]),
-            obs_weight=jnp.asarray(obs["obs_weight"]),
-            obs_valid=jnp.asarray(obs["obs_valid"]),
-            **rpc_kw,
+        problem = BA.problem_to_device(
+            cam_pose, cam_fixed, cam_valid, points, point_valid,
+            obs["obs_cam"], obs["obs_uv"], obs["obs_right"],
+            obs["obs_weight"], obs["obs_valid"],
+            rpc_i, rpc_j, rpc_T, rpc_w, rpc_valid,
         )
         aux = dict(kfs=kfs, pts=pts, **obs)
         return problem, aux

@@ -140,22 +140,13 @@ class LocalBA:
                     rpc_w[r, 3:] = w_r
                     rpc_valid[r] = True
 
-        problem = BA.BAProblem(
-            cam_pose=jnp.asarray(cam_pose),
-            cam_fixed=jnp.asarray(cam_fixed),
-            cam_valid=jnp.asarray(cam_valid),
-            points=jnp.asarray(points),
-            point_valid=jnp.asarray(point_valid),
-            obs_cam=jnp.asarray(obs["obs_cam"]),
-            obs_uv=jnp.asarray(obs["obs_uv"]),
-            obs_right=jnp.asarray(obs["obs_right"]),
-            obs_weight=jnp.asarray(obs["obs_weight"]),
-            obs_valid=jnp.asarray(obs["obs_valid"]),
-            rpc_i=jnp.asarray(rpc_i),
-            rpc_j=jnp.asarray(rpc_j),
-            rpc_T=jnp.asarray(rpc_T),
-            rpc_weight=jnp.asarray(rpc_w),
-            rpc_valid=jnp.asarray(rpc_valid),
+        # one flat H2D upload for the whole problem (16 fields) — the
+        # tunnel pays per-transfer latency, not per-byte
+        problem = BA.problem_to_device(
+            cam_pose, cam_fixed, cam_valid, points, point_valid,
+            obs["obs_cam"], obs["obs_uv"], obs["obs_right"],
+            obs["obs_weight"], obs["obs_valid"],
+            rpc_i, rpc_j, rpc_T, rpc_w, rpc_valid,
         )
         aux = dict(cams=cams, pts=pts, n_window=len(window), **obs)
         return problem, aux

@@ -87,8 +87,8 @@ class _InFlight:
 
 
 class WindowedRunner:
-    def __init__(self, system, window: int = 16, two_stage: bool = True,
-                 depth: int = 3, async_backends: bool | None = None):
+    def __init__(self, system, window: int = 64, two_stage: bool = True,
+                 depth: int = 4, async_backends: bool | None = None):
         self.system = system
         self.tracker = system.tracker
         self.window = window
@@ -361,9 +361,9 @@ class WindowedRunner:
         refresh_due = False
         while inflight:
             item = inflight.pop(0)
-            # async-copy the next TWO pending windows: the copies batch, so
-            # one tunnel round trip syncs multiple windows' results
-            for nxt in inflight[:2]:
+            # async-copy ALL pending windows: the copies batch, so one
+            # tunnel round trip can sync several windows' results
+            for nxt in inflight:
                 nxt.start_copy()
             try:
                 group = [(item, item.fetch())]
