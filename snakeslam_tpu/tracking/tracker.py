@@ -306,15 +306,43 @@ class Tracker:
         obs_kfs = obs_kfs[obs_kfs >= 0]
         counts = np.bincount(obs_kfs, minlength=self.map.max_keyframes)
         order = np.argsort(-counts)
-        local_kfs = [k for k in order[:15] if counts[k] > 0]
-        # indirect neighbors: covisible KFs of the best local KFs
-        # (randomized in the reference, TrackingFine.cpp:221-324; we take the
-        # deterministic top neighbors in deterministic mode)
-        extra = []
-        for k in local_kfs[:3]:
-            ids, w = self.map.covisible_keyframes(int(k), min_weight=15)
-            extra.extend(ids[:5].tolist())
-        all_kfs = list(dict.fromkeys(local_kfs + extra))
+        local_kfs = [int(k) for k in order[:15] if counts[k] > 0]
+        rest = [int(k) for k in order[15:] if counts[k] > 0]
+
+        # seeded exploration (the reference pulls ~5 extra direct and ~5
+        # second-order covisible KFs PROBABILISTICALLY into the fine local
+        # map, TrackingFine.cpp:278-324, so revisited older keyframes get a
+        # chance to re-enter; a hash of (epoch, kf id) replaces
+        # Random::sampleDouble — same exploration pressure, bit-reproducible
+        # for a fixed call sequence)
+        self._fine_epoch = getattr(self, "_fine_epoch", 0) + 1
+        epoch = self._fine_epoch
+
+        def coin(k, salt, prob):
+            h = (k * 2654435761 + epoch * 40503 + salt * 97) & 0xFFFFFFFF
+            return (h % 65536) / 65536.0 < prob
+
+        extra_direct, second_chance = [], []
+        if rest:
+            prob = 5.0 / len(rest)
+            for k in rest:
+                (extra_direct if coin(k, 1, prob)
+                 else second_chance).append(k)
+        chosen = local_kfs + extra_direct
+        in_local = set(chosen)
+        indirect = list(second_chance)
+        for k in chosen:
+            ids, w = self.map.covisible_keyframes(k, min_weight=15)
+            for nb in ids[:5]:
+                nb = int(nb)
+                if nb not in in_local:
+                    in_local.add(nb)
+                    indirect.append(nb)
+        extra_indirect = []
+        if indirect:
+            prob_ind = 5.0 / len(indirect)
+            extra_indirect = [k for k in indirect if coin(k, 2, prob_ind)]
+        all_kfs = list(dict.fromkeys(chosen + extra_indirect))
         pts = []
         for k in all_kfs:
             pts.append(self.map.keyframe_points(int(k)))
