@@ -154,6 +154,19 @@ class SlamSystem:
         System.cpp:190-200) + outlier removal + another BA round."""
         from snakeslam_tpu.optim.gba import GlobalBA
 
+        # end-of-run bad-section mitigation (System.cpp:167-184): the
+        # trailing ~30 frames never received the usual back-end polish, so
+        # raise their keyframes' culling bias past the force threshold and
+        # hand them to simplification before the final BA passes
+        valid = self.map.valid_keyframes()
+        if len(valid):
+            last_fid = int(self.map.kf_frame_id[valid].max())
+            kf = valid[np.argmax(self.map.kf_frame_id[valid])]
+            while kf >= 0 and self.map.kf_frame_id[kf] > last_fid - 30:
+                self.map.kf_cull_factor[kf] = 5.0
+                self._simp_queue.add(int(kf))
+                kf = int(self.map.kf_prev[kf])
+
         # drain the delayed back-end queues (ForceCleanQueue analog,
         # System.cpp:167-184)
         self._simp_queue.force_clean()
