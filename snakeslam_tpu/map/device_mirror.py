@@ -33,10 +33,17 @@ def _bucket(n: int, minimum: int = 4096) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _gather_points(table, ids, valid, angle, octave_override, use_override):
+def _gather_points(table, packed):
     """table: (cap, 16) f32 rows = [pos3 | normal3 | depth | level |
-    desc bitcast f32 x8].  ONE H2D buffer per sync instead of five — the
-    tunnel pays per-transfer latency, not per-byte."""
+    desc bitcast f32 x8].  ``packed`` is ONE (n_slots, 4) f32 staging
+    buffer [id-bits | valid | angle | octave-or-(-1)] — a single H2D
+    transfer: the tunnel pays ~0.4 ms per transfer, not per byte, so the
+    five separate aux uploads cost more than the whole payload."""
+    ids = jax.lax.bitcast_convert_type(packed[:, 0], jnp.int32)
+    valid = packed[:, 1] > 0.5
+    angle = packed[:, 2]
+    octave_override = packed[:, 3].astype(jnp.int32)
+    use_override = packed[0, 3] >= 0.0
     idx = jnp.clip(ids, 0, table.shape[0] - 1)
     rows = table[idx]
     lvl = jnp.where(use_override, octave_override,
@@ -89,19 +96,15 @@ class DeviceMapMirror:
         self.sync()
         ids = np.asarray(point_ids[:n_slots], dtype=np.int32)
         n = len(ids)
-        ids_pad = np.zeros(n_slots, dtype=np.int32)
-        ids_pad[:n] = ids
-        valid = np.arange(n_slots) < n
-        ang = np.zeros(n_slots, dtype=np.float32)
+        packed = np.zeros((n_slots, 4), dtype=np.float32)
+        packed[:n, 0] = ids.view(np.float32) if ids.dtype == np.int32 \
+            else ids.astype(np.int32).view(np.float32)
+        packed[:n, 1] = 1.0
         if angles is not None:
-            ang[:n] = angles[:n]
-        octv = np.zeros(n_slots, dtype=np.int32)
-        use_override = octaves is not None
-        if use_override:
-            octv[:n] = octaves[:n]
-        lm = _gather_points(
-            self._arrays,
-            jnp.asarray(ids_pad), jnp.asarray(valid), jnp.asarray(ang),
-            jnp.asarray(octv), jnp.asarray(bool(use_override)),
-        )
+            packed[:n, 2] = angles[:n]
+        if octaves is not None:
+            packed[:n, 3] = octaves[:n]
+        else:
+            packed[:, 3] = -1.0
+        lm = _gather_points(self._arrays, jnp.asarray(packed))
         return lm, ids.astype(np.int64)

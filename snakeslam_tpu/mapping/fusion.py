@@ -50,13 +50,39 @@ FUSE_NB = 16  # fixed forward fan-out width (n_neighbors=15 + pad): one
               # compiled program regardless of covisible count
 
 
+def _unpack_fuse_stage(stage):
+    """stage: ONE (FUSE_NB*17 + 17,) f32 staging buffer for a whole fuse
+    cycle — neighbor poses, neighbor pool slots, this KF's pose + slot —
+    so both fuse directions cost a single H2D transfer (the tunnel pays
+    ~0.4 ms per transfer)."""
+    o = FUSE_NB * 16
+    poses = stage[:o].reshape(FUSE_NB, 4, 4)
+    nb_slots = jax.lax.bitcast_convert_type(stage[o:o + FUSE_NB], jnp.int32)
+    kf_pose = stage[o + FUSE_NB:o + FUSE_NB + 16].reshape(4, 4)
+    kf_slot = jax.lax.bitcast_convert_type(stage[o + FUSE_NB + 16],
+                                           jnp.int32)
+    return poses, nb_slots, kf_pose, kf_slot
+
+
+def _pack_fuse_stage(poses_np, nb_slots_np, kf_pose_np, kf_slot):
+    stage = np.empty(FUSE_NB * 17 + 17, dtype=np.float32)
+    o = FUSE_NB * 16
+    stage[:o] = np.asarray(poses_np, np.float32).reshape(-1)
+    stage[o:o + FUSE_NB] = np.asarray(nb_slots_np, np.int32).view(np.float32)
+    stage[o + FUSE_NB:o + FUSE_NB + 16] = np.asarray(
+        kf_pose_np, np.float32).reshape(-1)
+    stage[o + FUSE_NB + 16] = np.int32(kf_slot).view(np.float32)
+    return stage
+
+
 @functools.partial(jax.jit, static_argnames=("levels",))
-def _fuse_pool_batch(pool_arrays, nb_slots, lm, poses, cam, bf, bounds,
+def _fuse_pool_batch(pool_arrays, stage, lm, cam, bf, bounds,
                      scales, log_sf, levels: int):
     """vmapped projection search over keyframe-pool rows: one device call
     for all target keyframes, with the neighbor feature gather fused into
     the program (map/kf_pool.py — no eager stacks, no re-uploads)."""
     st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+    poses, nb_slots, _, _ = _unpack_fuse_stage(stage)
 
     def one(slot, pose):
         feats = pool_features(pool_arrays, slot)
@@ -71,11 +97,12 @@ def _fuse_pool_batch(pool_arrays, nb_slots, lm, poses, cam, bf, bounds,
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
-def _fuse_pool_single(pool_arrays, slot, lm, pose, cam, bf, bounds,
+def _fuse_pool_single(pool_arrays, stage, lm, cam, bf, bounds,
                       scales, log_sf, levels: int):
     """Backward fuse pass against one pool row (neighbor points into the
     new keyframe)."""
     st = M.ScaleTables(scales=scales, log_scale_factor=log_sf, levels=levels)
+    _, _, pose, slot = _unpack_fuse_stage(stage)
     feats = pool_features(pool_arrays, slot)
     out = M.search_by_projection_fine(
         lm, feats, pose, cam, bf,
@@ -96,6 +123,9 @@ class MapSearcher:
         self.scales = jnp.asarray(pyr.scales)
         self.log_sf = jnp.float32(pyr.log_scale_factor)
         self.bounds = (0.0, 0.0, float(settings.width), float(settings.height))
+        # device-resident constant: re-creating it per dispatch costs one
+        # H2D transfer each time
+        self.bounds_dev = jnp.asarray(self.bounds, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
 
@@ -113,8 +143,7 @@ class MapSearcher:
         feats = kf_features_cached(smap, kf, self.s.feature_slots)
         fp = _fuse_search_single(
             lm, feats, jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
-            self.cam, self.bf,
-            jnp.asarray(self.bounds, dtype=jnp.float32),
+            self.cam, self.bf, self.bounds_dev,
             self.scales, self.log_sf, int(self.scales.shape[0]), th=th,
         )
         return self._commit_fuse(np.asarray(fp), ids, kf)
@@ -189,16 +218,18 @@ class MapSearcher:
                 b *= 2
             return min(b, self.s.local_map_slots)
 
+        # ONE staging upload covers both fuse directions
+        padded = neighbors + [neighbors[-1]] * (FUSE_NB - len(neighbors))
+        stage = jnp.asarray(_pack_fuse_stage(
+            smap.kf_pose[padded], pool.slots_for(padded),
+            smap.kf_pose[kf], pool.slots_for([kf])[0],
+        ))
         fp_fwd = ids_f = None
         if len(kf_pts):
-            padded = neighbors + [neighbors[-1]] * (FUSE_NB - len(neighbors))
             lm_f, ids_f = mirror.gather(kf_pts, _bucket(len(kf_pts)))
-            nb_slots = pool.slots_for(padded)
-            poses = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
             fp_fwd = _fuse_pool_batch(
-                pool.arrays, jnp.asarray(nb_slots), lm_f, poses,
-                self.cam, self.bf,
-                jnp.asarray(self.bounds, dtype=jnp.float32),
+                pool.arrays, stage, lm_f,
+                self.cam, self.bf, self.bounds_dev,
                 self.scales, self.log_sf, int(self.scales.shape[0]),
             )
         # backward: all neighbor points into this KF (same snapshot)
@@ -209,12 +240,9 @@ class MapSearcher:
         fp_bwd = ids_b = None
         if len(nb_pts):
             lm_b, ids_b = mirror.gather(nb_pts, _bucket(len(nb_pts)))
-            kf_slot = pool.slots_for([kf])[0]
             fp_bwd = _fuse_pool_single(
-                pool.arrays, jnp.int32(kf_slot), lm_b,
-                jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32),
-                self.cam, self.bf,
-                jnp.asarray(self.bounds, dtype=jnp.float32),
+                pool.arrays, stage, lm_b,
+                self.cam, self.bf, self.bounds_dev,
                 self.scales, self.log_sf, int(self.scales.shape[0]),
             )
         arrays = [x for x in (fp_fwd, fp_bwd) if x is not None]

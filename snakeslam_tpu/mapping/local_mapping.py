@@ -36,21 +36,54 @@ TRI_NB = 10  # fixed neighbor fan-out width (LocalMapping.cpp:317-329);
              # a single compiled program regardless of covisible count
 
 
+def _pack_tri_stage(free_a, free_b, T_a_np, T_b_np, slots, th_depth, grid):
+    """ONE f32 staging buffer for a whole triangulation dispatch — free
+    masks, poses, pool slots, depth grid — a single H2D transfer instead
+    of eight (the tunnel pays ~0.4 ms per transfer)."""
+    n_slots = free_a.shape[0]
+    parts = [
+        free_a.astype(np.float32),
+        free_b.astype(np.float32).reshape(-1),
+        np.asarray(T_a_np, np.float32).reshape(-1),
+        np.asarray(T_b_np, np.float32).reshape(-1),
+        np.asarray(slots, np.int32).view(np.float32),
+        np.float32([th_depth]),
+        np.asarray(grid, np.float32).reshape(-1),
+    ]
+    return np.concatenate(parts)
+
+
+def _unpack_tri_stage(stage, n_slots: int, grid_shape: tuple):
+    o = 0
+    free_a = stage[o:o + n_slots] > 0.5; o += n_slots
+    free_b = (stage[o:o + TRI_NB * n_slots] > 0.5).reshape(TRI_NB, n_slots)
+    o += TRI_NB * n_slots
+    T_a = stage[o:o + 16].reshape(4, 4); o += 16
+    T_b = stage[o:o + TRI_NB * 16].reshape(TRI_NB, 4, 4); o += TRI_NB * 16
+    slots = jax.lax.bitcast_convert_type(
+        stage[o:o + TRI_NB + 1], jnp.int32); o += TRI_NB + 1
+    th_depth = stage[o]; o += 1
+    grid = stage[o:o + grid_shape[0] * grid_shape[1]].reshape(grid_shape)
+    return free_a, free_b, T_a, T_b, slots, th_depth, grid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("feature_distance", "epipolar_distance", "error_mono",
-                     "bounds_wh"),
+                     "bounds_wh", "n_slots", "grid_shape"),
 )
-def _triangulate_pool(pool_arrays, a_slot, b_slots, free_a, free_b,
-                      T_a, T_b, cam, bf, scales, inv_sigma2, grid_a,
-                      th_depth,
+def _triangulate_pool(pool_arrays, stage, cam, bf, scales, inv_sigma2,
                       feature_distance: int, epipolar_distance: float,
-                      error_mono: float, bounds_wh: tuple):
+                      error_mono: float, bounds_wh: tuple,
+                      n_slots: int, grid_shape: tuple):
     """Jitted vmapped pair triangulation over keyframe-pool rows: the
     keyframe feature tables live in HBM (map/kf_pool.py); only slot
     indices, free masks, poses, and the small depth-completion grid cross
-    the tunnel per dispatch, and the neighbor gather fuses into the one
-    compiled program."""
+    the tunnel per dispatch (packed as ONE buffer), and the neighbor
+    gather fuses into the one compiled program."""
+    free_a, free_b, T_a, T_b, slots, th_depth, grid_a = _unpack_tri_stage(
+        stage, n_slots, grid_shape)
+    a_slot, b_slots = slots[0], slots[1:]
     feats_a = pool_features(pool_arrays, a_slot)
     feats_b = jax.vmap(lambda s: pool_features(pool_arrays, s))(b_slots)
 
@@ -365,8 +398,6 @@ class LocalMapper:
         for i, nb in enumerate(neighbors):
             nbn = int(smap.kf_n_feat[nb])
             free_b[i, :nbn] = smap.kf_obs[nb, :nbn] < 0
-        T_a = jnp.asarray(smap.kf_pose[kf], dtype=jnp.float32)
-        T_b = jnp.asarray(smap.kf_pose[padded], dtype=jnp.float32)
         # depth-completion grid: a depth prior per free feature lets the
         # kernel retry epipolar-ambiguous matches in a projection window
         # (ComputeDepthMap, Triangulator.cpp:296-373; the reference
@@ -374,15 +405,18 @@ class LocalMapper:
         # all pairs get it here, it is mask arithmetic on the TPU)
         grid = keyframe_depth_grid(smap, kf, self.s.width, self.s.height)
 
+        stage = jnp.asarray(_pack_tri_stage(
+            free_a, free_b, smap.kf_pose[kf], smap.kf_pose[padded],
+            slots, self.s.th_depth, grid,
+        ))
         out = _triangulate_pool(
-            pool.arrays, jnp.int32(slots[0]), jnp.asarray(slots[1:]),
-            jnp.asarray(free_a), jnp.asarray(free_b),
-            T_a, T_b, self.cam, self.bf, self.scales, self.inv_sigma2,
-            jnp.asarray(grid), jnp.float32(self.s.th_depth),
+            pool.arrays, stage, self.cam, self.bf, self.scales,
+            self.inv_sigma2,
             feature_distance=feature_distance,
             epipolar_distance=epipolar_distance,
             error_mono=error_mono,
             bounds_wh=(float(self.s.width), float(self.s.height)),
+            n_slots=n_slots, grid_shape=tuple(grid.shape),
         )
         return out, dict(neighbors=neighbors, free_a=free_a)
 

@@ -47,6 +47,28 @@ def solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     return (inv3x3(A) @ b[..., None])[..., 0]
 
 
+def solve6x6_psd(H: jax.Array, b: jax.Array) -> jax.Array:
+    """Closed-form (..., 6, 6) PSD solve via 3x3 block Schur complement.
+
+    Pure elementwise arithmetic (adjugate 3x3 inverses), so it fuses into
+    the surrounding XLA computation — unlike the Cholesky/LU custom calls
+    whose fixed launch overhead dominates a single 6x6 solve.  This is the
+    per-frame pose-GN step solve inside the window-track scan, where it
+    runs hundreds of times per window.
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    A_inv = inv3x3(A)
+    BtAi = jnp.swapaxes(B, -1, -2) @ A_inv          # B^T A^-1
+    S = D - BtAi @ B
+    x2 = (inv3x3(S) @ (b2 - (BtAi @ b1[..., None])[..., 0])[..., None])[..., 0]
+    x1 = (A_inv @ (b1 - (B @ x2[..., None])[..., 0])[..., None])[..., 0]
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def solve_psd(A: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b for symmetric positive-definite A via Cholesky.
 

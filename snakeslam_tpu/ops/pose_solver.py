@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from snakeslam_tpu.core import lie
 from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.ops.linalg import solve6x6_psd
 
 
 class PoseObs(NamedTuple):
@@ -152,22 +153,30 @@ def robust_pose_refine(
             H = H + jnp.diag(w_p)
             b = b + w_p * r_p
         H = H + damping * jnp.eye(6, dtype=T.dtype)
-        delta = jnp.linalg.solve(H, b)
+        # closed-form 6x6 block solve: fuses into the GN step instead of an
+        # LU custom call (which dominates this tiny solve on TPU)
+        delta = solve6x6_psd(H, b)
         return lie.orthonormalize(lie.se3_exp(-delta) @ T)
 
-    def outer(i, carry):
+    def outer(carry):
         T, inlier = carry
-        T = jax.lax.fori_loop(0, inner_iters, lambda _, T: gn_step(T, inlier), T)
+        for _ in range(inner_iters):
+            T = gn_step(T, inlier)
         r, J, valid, has_stereo = _residuals_jacobians(T, obs, cam, bf)
         chi2 = _chi2(r, obs, has_stereo)
         th = jnp.where(has_stereo, chi2_stereo, chi2_mono)
         inlier = valid & (chi2 <= th)
         return T, inlier
 
-    inlier0 = obs.mask
-    T, inlier = jax.lax.fori_loop(
-        0, outer_iters, outer, (lie.orthonormalize(T_init), inlier0)
-    )
+    # the iteration counts are small static values, so the rounds UNROLL:
+    # inside the window-track scan a lax loop would pay per-iteration
+    # control overhead hundreds of times per window, and unrolling lets
+    # XLA fuse across GN steps (measured: the while-op overhead was the
+    # single largest slice of window_track device time)
+    carry = (lie.orthonormalize(T_init), obs.mask)
+    for _ in range(outer_iters):
+        carry = outer(carry)
+    T, inlier = carry
     return T, inlier, jnp.sum(inlier)
 
 

@@ -161,8 +161,14 @@ class SlamSystem:
         valid = self.map.valid_keyframes()
         if len(valid):
             last_fid = int(self.map.kf_frame_id[valid].max())
+            # guard (beyond the reference): in a short run EVERY keyframe
+            # is "trailing" and force-culling them all guts the map — only
+            # mitigate when a non-trailing backbone remains
+            n_backbone = int((self.map.kf_frame_id[valid]
+                              <= last_fid - 30).sum())
             kf = valid[np.argmax(self.map.kf_frame_id[valid])]
-            while kf >= 0 and self.map.kf_frame_id[kf] > last_fid - 30:
+            while (n_backbone >= 3 and kf >= 0
+                   and self.map.kf_frame_id[kf] > last_fid - 30):
                 self.map.kf_cull_factor[kf] = 5.0
                 self._simp_queue.add(int(kf))
                 kf = int(self.map.kf_prev[kf])
