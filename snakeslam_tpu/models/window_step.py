@@ -65,9 +65,16 @@ def frame_buffer_width(n_slots: int) -> int:
 
 
 def _pack_one_np(f, n_slots: int) -> np.ndarray:
-    """Pack one FrameData into its (K,) f32 row (cached on the frame)."""
+    """Pack one FrameData into its (K,) f32 row (cached on the frame).
+
+    The cache is invalid when the gyro prediction (imu_dR_cam) attached or
+    changed after the row was first packed — a failed chain re-dispatches
+    frames whose prediction the runner refreshed, and a stale identity dR
+    would silently disable the IMU prediction for those frames."""
     cache = getattr(f, "_packed_row", None)
-    if cache is not None and cache.shape[0] == frame_buffer_width(n_slots):
+    dR = getattr(f, "imu_dR_cam", None)
+    if (cache is not None and cache.shape[0] == frame_buffer_width(n_slots)
+            and getattr(f, "_packed_dR", None) is dR):
         return cache
     n = min(f.n, n_slots)
     row = np.zeros(frame_buffer_width(n_slots), dtype=np.float32)
@@ -86,11 +93,11 @@ def _pack_one_np(f, n_slots: int) -> np.ndarray:
     o += n_slots * 8
     row[o] = n
     row[o + 1] = f.timestamp
-    dR = getattr(f, "imu_dR_cam", None)
     row[o + 2:o + 11] = (np.eye(3, dtype=np.float32).ravel()
                          if dR is None
                          else np.asarray(dR, np.float32).ravel())
     f._packed_row = row
+    f._packed_dR = dR
     return row
 
 
@@ -179,6 +186,24 @@ def window_track(
     P = lm.position.shape[0]
     inv_scales = 1.0 / scales
 
+    # fused Pallas pose refine: the whole robust GN (sweeps + chi2
+    # re-classification + SE3 updates) in ONE kernel launch per call —
+    # the XLA expansion is ~60 tiny fusions per frame and the scan is
+    # launch-bound (ops/pose_pallas.py).  Off-TPU (CPU tests) the XLA
+    # path keeps bit-reproducibility with the per-frame tracker.
+    use_fused = (jax.default_backend() == "tpu" and n_slots % 128 == 0)
+
+    def _refine(T0, obs, outer_iters, inner_iters):
+        if use_fused:
+            from snakeslam_tpu.ops.pose_pallas import pose_refine_fused
+
+            return pose_refine_fused(
+                T0, obs.points, obs.uv, obs.right, obs.weight, obs.mask,
+                cam, bf, outer_iters=outer_iters, inner_iters=inner_iters)
+        return robust_pose_refine(T0, obs, cam, bf,
+                                  outer_iters=outer_iters,
+                                  inner_iters=inner_iters)
+
     def track_one(T_pred, frame):
         if two_stage:
             # coarse: prediction-radius matching against the snapshot
@@ -195,8 +220,7 @@ def window_track(
                 weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
                 mask=matched_c,
             )
-            T1, _, n1 = robust_pose_refine(T_pred, obs, cam, bf,
-                                           outer_iters=1, inner_iters=3)
+            T1, _, n1 = _refine(T_pred, obs, 1, 3)
             # fine: tighter radius from the refined pose
             outf = M.search_by_projection_fine(
                 lm, frame, T1, cam, bf, bounds, st,
@@ -221,8 +245,7 @@ def window_track(
             weight=inv_scales[jnp.clip(frame.octave, 0, st.levels - 1)],
             mask=matched,
         )
-        T2, inlier, n2 = robust_pose_refine(T1, obs, cam, bf,
-                                            outer_iters=2, inner_iters=2)
+        T2, inlier, n2 = _refine(T1, obs, 2, 2)
         assign = jnp.where(inlier, assign, -1)
         visible = outf["visible"]
         found = jnp.zeros((P,), dtype=jnp.float32).at[

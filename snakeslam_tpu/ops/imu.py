@@ -236,7 +236,11 @@ def solve_scale_gravity(
     bf = (gamma * w[:, None]).reshape(-1)
     H = Af.T @ Af
     rhs = Af.T @ bf
-    x = solve_psd(H + 1e-9 * jnp.eye(nu, dtype=p.dtype), rhs)
+    # pivoted LU, not Cholesky: H = Af^T Af mixes scale/gravity/bias
+    # columns whose magnitudes differ by orders of magnitude — f32
+    # Cholesky can go NaN on the resulting conditioning, and this solve
+    # runs once per VI-init stage (cold path, robustness over speed)
+    x = jnp.linalg.solve(H + 1e-9 * jnp.eye(nu, dtype=p.dtype), rhs)
     s = x[0]
     g = x[1:4]
     ba = x[4:7] if with_acc_bias else jnp.zeros(3, dtype=p.dtype)
@@ -406,7 +410,9 @@ def solve_imu_chain(
         J = J * mask[None, :]
         H = J.T @ J + 1e-6 * jnp.eye(n_state, dtype=dtype)
         b = J.T @ r
-        return x - mask * solve_psd(H, b)
+        # pivoted LU (see solve_scale_gravity): velocity/bias/gravity
+        # blocks make H too ill-conditioned for f32 Cholesky
+        return x - mask * jnp.linalg.solve(H, b)
 
     x0 = jnp.zeros(n_state, dtype=dtype).at[: 3 * K].set(
         chain.v.reshape(-1)

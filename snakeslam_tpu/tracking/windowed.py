@@ -354,11 +354,18 @@ class WindowedRunner:
                     frames, next_i, W, lm, lm_ids, carry, scal)
                 next_i += len(item.batch)
                 inflight.append(item)
-                inflight[0].start_copy()
+                # start the D2H copy at DISPATCH time: the copy is queued
+                # behind the scan on device, so by consume time it has
+                # usually landed host-side and the blocking fetch is free
+                # (measured: a fetch ~30 ms after copy_to_host_async costs
+                # 0.15 ms; a fetch whose copy starts at consume time pays
+                # the full ~30 ms tunnel round trip)
+                item.start_copy()
 
         top_up()
         consumed_to = i
-        refresh_due = False
+        refresh_in = 0   # countdown of blocking fetch points until commit
+        refresh_pending = False
         while inflight:
             item = inflight.pop(0)
             # async-copy ALL pending windows: the copies batch, so one
@@ -379,22 +386,21 @@ class WindowedRunner:
                 inflight.clear()
                 failed_at = item.start
                 break
-            if refresh_due and self._backend_ready():
-                # deterministic commit point: the pending back-end cycle was
-                # dispatched in an EARLIER loop iteration, so its readback
-                # overlapped the blocking window fetch above — commit is a
-                # fixed point in the consume schedule (never an is_ready()
-                # wall-clock poll), and usually free by now
-                refresh_due = False
+            def do_refresh():
+                """Commit the pending cycle + swap the refreshed snapshot.
+                Returns True when the chain must restart (map rebase)."""
+                nonlocal refresh_pending, stop_dispatch, lm, lm_ids, carry
+                refresh_pending = False
                 self._commit_backend()
                 if getattr(t.map, "n_transforms", 0) != transforms_before:
-                    # a loop correction re-based the map: already-consumed
-                    # poses were rebased by the tracker's transform
-                    # listener, but in-flight windows were computed in the
-                    # old basis — discard them and restart the chain
+                    # a loop correction / VI-init transform re-based the
+                    # map: already-consumed poses were rebased by the
+                    # tracker's transform listener, but in-flight windows
+                    # were computed in the old basis — discard them and
+                    # restart the chain
                     inflight.clear()
                     stop_dispatch = True
-                    break
+                    return True
                 # swap the refreshed snapshot into future dispatches; a
                 # bucket change would recompile the scan, so end the chain
                 # instead and let run() start a fresh one
@@ -414,6 +420,21 @@ class WindowedRunner:
                              carry[3])
                 # on stop_dispatch the fetched group is still consumed
                 # below; top_up() dispatches nothing and run() restarts
+                return False
+
+            if refresh_in > 0:
+                refresh_in -= 1
+            if refresh_pending and refresh_in == 0 and self._backend_ready():
+                # deterministic commit point: TWO blocking window fetches
+                # after the cycle's dispatch — the cycle's device work is
+                # queued behind the already-dispatched speculative windows,
+                # so committing at the first fetch would still block on the
+                # device queue; one extra window of staleness (the
+                # reference's async-mode behaviour, README.md:61-65) lets
+                # the whole cycle drain behind the fetches.  Still a fixed
+                # point in the consume schedule, never a wall-clock poll.
+                if do_refresh():
+                    break
             got_kf = None
             for it, (outs, assign, vis, fnd) in group:
                 r = self._consume(it, outs, assign, vis, fnd)
@@ -438,7 +459,16 @@ class WindowedRunner:
                     self._dispatch_backend_cycles()
                 else:
                     self._submit(t.local_mapper.flush_deferred)
-                refresh_due = True
+                refresh_in = 2
+                refresh_pending = True
+                if self.imu_solver is not None and self._pool is None:
+                    # VI commits are synchronous (they can rescale the
+                    # whole map, see _dispatch_backend_cycles): refresh the
+                    # snapshot and run the rebase check IMMEDIATELY so no
+                    # window is dispatched or consumed against a rescaled
+                    # map in the old basis
+                    if do_refresh():
+                        break
             top_up()
 
         if failed_at >= 0:
