@@ -15,7 +15,7 @@ tracking is a device-side scan over frame batches, so throughput is not
 bound by per-frame host round trips — the analog of the reference's
 playback_fps=200 evaluation mode.
 
-Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 16).
+Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 64).
 """
 
 from __future__ import annotations
@@ -116,8 +116,10 @@ def run_bench(n_frames: int | None = None, warmup_frames: int = 40,
     n_tracked = len(system.tracker.trajectory)
     fps = n_tracked / wall
     rmse, scale, n = system.ate_against_gt(with_scale=False)
+    orb_fps, orb_stages = _bench_orb()
     return {
-        "orb_fps": _bench_orb(),
+        "orb_fps": orb_fps,
+        "orb_stages": orb_stages,
         "kf_cycle_ms": _bench_kf_cycle(system),
         "fps": fps,
         "n_tracked": n_tracked,
@@ -167,31 +169,70 @@ def _bench_kf_cycle(system, reps: int = 3):
         return None
 
 
-def _bench_orb(n_frames: int = 30):
+def _bench_orb(n_batches: int = 6, batch: int = 8):
     """Secondary metric: full ORB front-end frames/s on TPU (image ->
-    1024 features; Pallas FAST kernel on-TPU by default).  The tracking
-    bench replays extracted features (the reference's feature-cache mode,
+    1024 features; Pallas FAST + batched extraction — the analog of the
+    reference's CUDA extractor pipelining frames,
+    FeatureDetector.cpp:28-42,119).  The tracking bench replays extracted
+    features (the reference's feature-cache mode,
     FeatureDetector.cpp:94-139), so the image front-end gets its own
-    number here."""
+    number here.  Measured on RENDERED scenes (real corner statistics),
+    not noise.  Returns (fps, per-stage ms table for one 8-frame batch)."""
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from snakeslam_tpu.ops.orb import extract_orb
+    from snakeslam_tpu.ops import orb as O
+    from snakeslam_tpu.utils.render_world import render_frame
+    from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
 
     try:
-        rng = np.random.default_rng(0)
-        imgs = [jnp.asarray(rng.uniform(0, 255, (480, 752))
-                            .astype(np.float32)) for _ in range(8)]
-        np.asarray(extract_orb(imgs[0], n_features=1024).uv)  # compile
+        world = SyntheticWorld(n_points=3000, seed=0)
+        imgs = []
+        for _, T in orbit_trajectory(2 * batch, radius=7.0, arc=0.5):
+            out = render_frame(world, T)
+            imgs.append(np.asarray(out[0] if isinstance(out, tuple) else out,
+                                   np.float32))
+        batches = [jnp.asarray(np.stack(imgs[k * batch:(k + 1) * batch]))
+                   for k in range(2)]
+        fn = jax.jit(lambda b: O.extract_orb_batch(b, n_features=1024))
+        np.asarray(fn(batches[0])[0][0, 0])  # compile + sync
         t0 = time.perf_counter()
-        outs = [extract_orb(imgs[i % 8], n_features=1024).uv
-                for i in range(n_frames)]
-        np.asarray(outs[-1])
-        return round(n_frames / (time.perf_counter() - t0), 1)
+        for k in range(n_batches):
+            r = fn(batches[k % 2])
+        np.asarray(r[0][0, 0])
+        fps = round(n_batches * batch / (time.perf_counter() - t0), 1)
+
+        def t_stage(f, *a, reps=4):
+            r = f(*a)
+            np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = f(*a)
+            np.asarray(jax.tree_util.tree_leaves(r)[0].reshape(-1)[:1])
+            return round((time.perf_counter() - t0) / reps * 1000, 2), r
+
+        b0 = batches[0]
+        from snakeslam_tpu.ops.orb_pallas import fast_score_pallas_batch
+        stages = {}
+        f1 = jax.jit(lambda b: jax.vmap(O.nms3)(
+            fast_score_pallas_batch(b, 20.0)[0]))
+        stages["fast_nms_ms"], score = t_stage(f1, b0)
+        f2 = jax.jit(lambda s: jax.vmap(
+            lambda x: O.select_keypoints(x, 400))(s))
+        stages["select_ms"], sel = t_stage(f2, score)
+        f3 = jax.jit(lambda b, uv: jax.vmap(O.orientations)(b, uv))
+        stages["orientation_ms"], ang = t_stage(f3, b0, sel[0])
+        f4 = jax.jit(O.box_blur_batch)
+        stages["blur_ms"], blur = t_stage(f4, b0)
+        f5 = jax.jit(lambda bl, uv, a: jax.vmap(O.brief_descriptors)(
+            bl, uv, a))
+        stages["brief_ms"], _ = t_stage(f5, blur, sel[0], ang)
+        stages["note"] = "ms per 8-frame batch at level 0, 400 kp/frame"
+        return fps, stages
     except Exception:
-        return None
+        return None, None
 
 
 def main():
@@ -223,6 +264,7 @@ def main():
             "keyframes": res["n_keyframes"],
             "points": res["n_points"],
             "orb_fps": res.get("orb_fps"),
+            "orb_stages": res.get("orb_stages"),
             "kf_cycle_ms": res.get("kf_cycle_ms"),
         },
     }

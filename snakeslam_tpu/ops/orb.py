@@ -184,19 +184,19 @@ BRIEF_PATTERN = _make_brief_pattern()
 
 
 def box_blur_batch(imgs: jax.Array, k: int = 7) -> jax.Array:
-    """(B, H, W) k x k box filter (separable) — the BRIEF pre-smoothing."""
-    kernel = jnp.ones((k,), dtype=imgs.dtype) / k
-    out = jax.lax.conv_general_dilated(
-        imgs[:, None], kernel[None, None, :, None],
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kernel[None, None, None, :],
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[:, 0]
+    """(B, H, W) k x k box filter (separable) — the BRIEF pre-smoothing.
+
+    Shift-and-add, not conv: a 1-channel conv_general_dilated cannot tile
+    onto the MXU and lowers ~18x slower on TPU than 2k fused VPU adds
+    (measured 59 -> 3 ms on an 8x480x752 batch).  Zero padding keeps the
+    conv 'SAME' semantics this replaced."""
+    r = k // 2
+    scale = imgs.dtype.type(1.0 / k)
+    p = jnp.pad(imgs, ((0, 0), (r, r), (0, 0)))
+    out = sum(p[:, i:i + imgs.shape[1], :] for i in range(k)) * scale
+    p = jnp.pad(out, ((0, 0), (0, 0), (r, r)))
+    out = sum(p[:, :, i:i + imgs.shape[2]] for i in range(k)) * scale
+    return out
 
 
 def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
@@ -204,32 +204,62 @@ def box_blur(img: jax.Array, k: int = 7) -> jax.Array:
     return box_blur_batch(img[None], k)[0]
 
 
+# rBRIEF angle quantization: 30 bins of 12 deg (the ORB recipe — OpenCV
+# quantizes to 2*pi/30 before sampling), which lets the rotated sample
+# positions be PRECOMPUTED per bin as static patch offsets.
+_BRIEF_BINS = 30
+_BRIEF_PATCH = 40          # rotated samples reach |13*sqrt(2)| ~ 18.4 px
+
+
+def _make_brief_offsets() -> np.ndarray:
+    """(30, 512) static flat offsets into a 40x40 patch, one row per
+    quantized angle; columns are [endpoint0 x256, endpoint1 x256]."""
+    half = _BRIEF_PATCH // 2
+    out = np.empty((_BRIEF_BINS, 2 * DESC_BITS), dtype=np.int32)
+    for b in range(_BRIEF_BINS):
+        a = np.radians(b * 360.0 / _BRIEF_BINS)
+        c, s = np.cos(a), np.sin(a)
+        px = BRIEF_PATTERN[:, :, 0]
+        py = BRIEF_PATTERN[:, :, 1]
+        ix = np.round(c * px - s * py).astype(np.int32) + half
+        iy = np.round(s * px + c * py).astype(np.int32) + half
+        lin = iy * _BRIEF_PATCH + ix                 # (256, 2)
+        out[b] = np.concatenate([lin[:, 0], lin[:, 1]])
+    return out
+
+
+_BRIEF_OFFSETS = _make_brief_offsets()
+
+
 def brief_descriptors(img_blur: jax.Array, uv: jax.Array,
                       angle_deg: jax.Array) -> jax.Array:
     """Rotated BRIEF: (N, 256) bits in {0, 1} (int8).
 
-    One flat gather from the blurred image (N*256*2 indices) instead of
-    per-keypoint dynamic-slice patches + a second gather — fewer scatter
-    kernels, and sampling is centered correctly for border keypoints
-    (the patch path clamps the whole window into the image, which
-    off-centers the pattern near edges)."""
-    pattern = jnp.asarray(BRIEF_PATTERN)            # (256, 2, 2)
-    rad = jnp.radians(angle_deg)
-    c, s = jnp.cos(rad), jnp.sin(rad)
-    # rotate pattern per keypoint: (N, 256, 2, 2)
-    px = pattern[None, :, :, 0]
-    py = pattern[None, :, :, 1]
-    rx = c[:, None, None] * px - s[:, None, None] * py
-    ry = s[:, None, None] * px + c[:, None, None] * py
-
+    TPU-shaped sampling: angles quantize to 30 bins of 12 deg (the ORB
+    recipe), so every bin's rotated sample positions are STATIC offsets
+    into a per-keypoint 40x40 patch.  Patches come from one block gather
+    (vmapped dynamic_slice — ~10x the throughput of elementwise gathers
+    on TPU), then 30 unrolled static column-takes select each bin's
+    samples and a where-accumulate keeps the right bin per keypoint.
+    Replaces a 512-index random gather per keypoint that ran at ~9 ns
+    per element and dominated the whole extractor.  Near the border the
+    clamped patch off-centers the pattern (same policy as orientations);
+    descriptors stay deterministic and backend-independent."""
     H, W = img_blur.shape
-    ix = jnp.clip(jnp.round(uv[:, 0, None, None] + rx).astype(jnp.int32),
-                  0, W - 1)
-    iy = jnp.clip(jnp.round(uv[:, 1, None, None] + ry).astype(jnp.int32),
-                  0, H - 1)
-    lin = (iy * W + ix).reshape(-1)
-    vals = jnp.take(img_blur.reshape(-1), lin).reshape(uv.shape[0], 256, 2)
-    return (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.int8)
+    if H < _BRIEF_PATCH or W < _BRIEF_PATCH:
+        # tiny pyramid levels (small fixture images): pad so the 40x40
+        # window always fits — static, shape-derived, free for real sizes
+        img_blur = jnp.pad(img_blur, ((0, max(0, _BRIEF_PATCH - H)),
+                                      (0, max(0, _BRIEF_PATCH - W))))
+    patches = _extract_patches(img_blur, uv, _BRIEF_PATCH)
+    patches = patches.reshape(uv.shape[0], _BRIEF_PATCH * _BRIEF_PATCH)
+    bin_ = jnp.round(angle_deg * (_BRIEF_BINS / 360.0)).astype(jnp.int32)
+    bin_ = jnp.mod(bin_, _BRIEF_BINS)
+    samples = jnp.zeros((uv.shape[0], 2 * DESC_BITS), dtype=img_blur.dtype)
+    for b in range(_BRIEF_BINS):
+        take_b = patches[:, _BRIEF_OFFSETS[b]]       # static indices
+        samples = jnp.where((bin_ == b)[:, None], take_b, samples)
+    return (samples[:, :DESC_BITS] < samples[:, DESC_BITS:]).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------

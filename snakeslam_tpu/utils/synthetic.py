@@ -210,6 +210,25 @@ def orbit_trajectory(n_frames: int, radius: float = 6.0, height: float = 0.5,
         yield i / fps, lookat_pose_cw(eye, np.zeros(3))
 
 
+def loop_trajectory(n_frames: int, radius: float = 6.0, height: float = 0.5,
+                    arc: float = 2.0 * np.pi * 1.08, fps: float = 20.0):
+    """Camera orbiting the origin LOOKING OUTWARD — a loop-closure workload.
+
+    Outward frustums on opposite orbit sides see disjoint regions of the
+    point cloud (the inward-facing ``orbit_trajectory`` always shares the
+    central region, so its keyframes stay covisible all the way around and
+    no loop event can ever fire).  With ``arc`` slightly over 2*pi the
+    trajectory revisits its start, the revisit keyframes are non-covisible
+    with the originals, and the loop detector gets a genuine closure — the
+    corridor-loop geometry of the reference's EuRoC MH sequences."""
+    for i in range(n_frames):
+        a = arc * i / max(n_frames - 1, 1)
+        eye = np.array([radius * np.sin(a), height * np.sin(2.5 * a),
+                        -radius * np.cos(a)])
+        out = np.array([np.sin(a), 0.0, -np.cos(a)])
+        yield i / fps, lookat_pose_cw(eye, eye + 4.0 * out)
+
+
 def forward_trajectory(n_frames: int, speed: float = 0.6, fps: float = 20.0,
                        weave: float = 0.15):
     """Mostly-forward motion with gentle weave (EuRoC-like)."""
