@@ -22,7 +22,7 @@ from snakeslam_tpu.loop.keyframe_database import KeyframeDatabase
 from snakeslam_tpu.map.slam_map import SlamMap, transform_pose_cw
 from snakeslam_tpu.ops import bow as BOW
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
-from snakeslam_tpu.ops.matching import knn2_ratio_match
+from snakeslam_tpu.ops.matching import knn2_ratio_match_np
 from snakeslam_tpu.ops.pgo import PoseGraph, solve_pgo
 from snakeslam_tpu.ops.sim3_solver import sim3_ransac
 from snakeslam_tpu.system.settings import InputType, Settings
@@ -89,8 +89,8 @@ class LoopClosing:
         v_kf = self.db.vectors[kf] if self.db.present[kf] else None
         if v_kf is None or not v_kf.any():
             n = int(smap.kf_n_feat[kf])
-            bits = unpack_bits_np(smap.kf_feat_desc[kf, :n])
-            _, v_kf = self.db.compute_frame_vector(bits)
+            _, v_kf = self.db.compute_frame_vector(
+                smap.kf_feat_desc[kf, :n])
         cov_present = [c for c in cov if self.db.present[c]]
         if not cov_present:
             return None
@@ -147,18 +147,27 @@ class LoopClosing:
         dst = smap.pt_pos[pts_old]      # loop-side coordinates
         self.key, sub = jax.random.split(self.key)
         scene_scale = max(float(smap.kf_median_depth[kf]), 1.0)
+        # pad to a shape bucket: the pair count varies per candidate and
+        # unpadded shapes would recompile the RANSAC per pair
+        npairs = len(src)
+        pad = -(-npairs // 256) * 256
+        srcp = np.zeros((pad, 3), dtype=np.float32)
+        srcp[:npairs] = src
+        dstp = np.zeros((pad, 3), dtype=np.float32)
+        dstp[:npairs] = dst
         s, R, t, inl, n = sim3_ransac(
-            jnp.asarray(src, dtype=jnp.float32),
-            jnp.asarray(dst, dtype=jnp.float32),
-            jnp.ones(len(src), dtype=bool), sub,
+            jnp.asarray(srcp), jnp.asarray(dstp),
+            jnp.asarray(np.arange(pad) < npairs), sub,
             threshold=0.05 * scene_scale,
             with_scale=self.use_scale,
         )
+        from snakeslam_tpu.utils.fetch import fetch_list
+
+        s, R, t, inl, n = fetch_list([s, R, t, inl, n])  # one round trip
         if int(n) < MIN_SIM3_INLIERS:
             return None
-        inl = np.asarray(inl)
-        return (float(s), np.asarray(R, dtype=np.float64),
-                np.asarray(t, dtype=np.float64),
+        inl = inl[:npairs]
+        return (float(s), R.astype(np.float64), t.astype(np.float64),
                 (pts_new[inl], pts_old[inl]))
 
     def _match_points(self, kf: int, cand: int):
@@ -176,14 +185,12 @@ class LoopClosing:
         pts_b, desc_b = kf_points(cand)
         if len(pts_a) < 20 or len(pts_b) < 20:
             return None
-        idx, dist = knn2_ratio_match(
-            jnp.asarray(unpack_bits_np(desc_a)),
-            jnp.asarray(unpack_bits_np(desc_b)),
-            jnp.ones(len(pts_a), dtype=bool),
-            jnp.ones(len(pts_b), dtype=bool),
+        # padded wrapper: per-candidate point counts vary every call, and
+        # unpadded shapes would compile a fresh executable per pair
+        idx, dist = knn2_ratio_match_np(
+            unpack_bits_np(desc_a), unpack_bits_np(desc_b),
             ratio=0.75, max_dist=50,
         )
-        idx = np.asarray(idx)
         sel = idx >= 0
         return pts_a[sel], pts_b[idx[sel]]
 

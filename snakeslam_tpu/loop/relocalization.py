@@ -15,8 +15,8 @@ from snakeslam_tpu.core.camera import Pinhole
 from snakeslam_tpu.loop.keyframe_database import KeyframeDatabase
 from snakeslam_tpu.map.slam_map import FrameData, SlamMap
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
-from snakeslam_tpu.ops.matching import knn2_ratio_match
-from snakeslam_tpu.ops.pose_solver import PoseObs, pnp_ransac, robust_pose_refine
+from snakeslam_tpu.ops.matching import knn2_ratio_match_np
+from snakeslam_tpu.ops.pose_solver import pnp_refine_np
 from snakeslam_tpu.system.settings import Settings
 
 MIN_RELOC_INLIERS = 30
@@ -39,7 +39,7 @@ class Relocalizer:
         ids, scores = self.db.detect_relocalization_candidates(
             unpack_bits_np(frame.descriptors), top_n=3
         )
-        frame_bits = jnp.asarray(unpack_bits_np(frame.descriptors))
+        frame_bits = unpack_bits_np(frame.descriptors)
         for cand in ids:
             cand = int(cand)
             if not smap.kf_valid[cand]:
@@ -51,43 +51,26 @@ class Relocalizer:
             pts = pts[ok]
             if len(pts) < MIN_RELOC_INLIERS:
                 continue
-            pt_bits = jnp.asarray(smap.pt_bits[pts])
-            idx, dist = knn2_ratio_match(
-                frame_bits, pt_bits,
-                jnp.ones(frame.n, dtype=bool),
-                jnp.ones(len(pts), dtype=bool),
+            idx, dist = knn2_ratio_match_np(
+                frame_bits, smap.pt_bits[pts],
                 ratio=0.75, max_dist=50,
             )
-            idx = np.asarray(idx)
             sel = idx >= 0
             if sel.sum() < MIN_RELOC_INLIERS:
                 continue
-            # PnP on the 2D-3D matches
-            n_m = int(sel.sum())
+            # PnP on the 2D-3D matches (shape-bucketed: attempt counts
+            # vary per candidate, padding shares one compile)
             obs_pts = smap.pt_pos[pts[idx[sel]]]
             obs_uv = frame.uv[sel]
             self.key, sub = jax.random.split(self.key)
-            T0, inl0, n0 = pnp_ransac(
-                jnp.asarray(obs_pts, dtype=jnp.float32),
-                jnp.asarray(obs_uv, dtype=jnp.float32),
-                jnp.ones(n_m, dtype=bool), self.cam, sub,
-                n_hypotheses=512,
-            )
-            if int(n0) < MIN_RELOC_INLIERS // 2:
+            n0, T, inlier, n_inl = pnp_refine_np(
+                obs_pts, obs_uv, self.cam, self.bf, sub, n_hypotheses=512)
+            if n0 < MIN_RELOC_INLIERS // 2:
                 continue
-            obs = PoseObs(
-                points=jnp.asarray(obs_pts, dtype=jnp.float32),
-                uv=jnp.asarray(obs_uv, dtype=jnp.float32),
-                right=jnp.full(n_m, -1.0, dtype=jnp.float32),
-                weight=jnp.ones(n_m, dtype=jnp.float32),
-                mask=jnp.ones(n_m, dtype=bool),
-            )
-            T, inlier, n_inl = robust_pose_refine(T0, obs, self.cam, self.bf)
-            if int(n_inl) < MIN_RELOC_INLIERS:
+            if n_inl < MIN_RELOC_INLIERS:
                 continue
             frame.pose_cw = np.asarray(T, dtype=np.float64)
             matches = np.full(frame.n, -1, dtype=np.int64)
-            inlier = np.asarray(inlier)
             sel_idx = np.nonzero(sel)[0]
             matches[sel_idx[inlier]] = pts[idx[sel]][inlier]
             frame.matches = matches

@@ -16,14 +16,16 @@ reference exactly: TH_HIGH=100, TH_LOW=50, HISTO_LENGTH=30
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from snakeslam_tpu.core import lie
 from snakeslam_tpu.core.camera import Pinhole
-from snakeslam_tpu.ops.descriptors import hamming_matrix
+from snakeslam_tpu.ops.descriptors import DESC_BITS, hamming_matrix
 
 TH_HIGH = 100
 TH_LOW = 50
@@ -318,6 +320,47 @@ def rotation_consistency_filter(feat_point: jax.Array, point_angle: jax.Array,
     )
     keep = matched & keep_bin[jnp.clip(bin_, 0, HISTO_LENGTH - 1)]
     return jnp.where(keep, feat_point, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "max_dist",
+                                              "cross_check"))
+def _knn2_jit(bits_a, bits_b, valid_a, valid_b, ratio, max_dist,
+              cross_check):
+    return knn2_ratio_match(bits_a, bits_b, valid_a, valid_b,
+                            ratio=ratio, max_dist=max_dist,
+                            cross_check=cross_check)
+
+
+def knn2_ratio_match_np(bits_a, bits_b, ratio: float = 0.8,
+                        max_dist: int = TH_LOW, cross_check: bool = True,
+                        bucket: int = 256):
+    """Host front door for brute-force 2-NN matching on ragged inputs.
+
+    Pads both sides to ``bucket`` multiples and jits, so repeated calls
+    with varying keypoint counts reuse ONE compile per shape bucket.
+    Loop detection calls brute-force matching once per (keyframe,
+    candidate) pair with that pair's exact point counts — unpadded that
+    is a fresh XLA executable per pair, and a compile storm measured at
+    ~140 s per 55 tracked frames on the loop-closure workload (every
+    hamming_matrix/argmin shape was new).  bits are (N, 256) {0,1}
+    host arrays; returns host (idx into b or -1, dist) of length
+    len(bits_a)."""
+    na, nb = len(bits_a), len(bits_b)
+    pa = -(-max(na, 1) // bucket) * bucket
+    pb = -(-max(nb, 1) // bucket) * bucket
+    a = np.zeros((pa, DESC_BITS), dtype=np.uint8)
+    a[:na] = bits_a
+    b = np.zeros((pb, DESC_BITS), dtype=np.uint8)
+    b[:nb] = bits_b
+    idx, dist = _knn2_jit(
+        jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(np.arange(pa) < na), jnp.asarray(np.arange(pb) < nb),
+        ratio=float(ratio), max_dist=int(max_dist),
+        cross_check=bool(cross_check))
+    from snakeslam_tpu.utils.fetch import fetch_list
+
+    idx, dist = fetch_list([idx, dist])   # one round trip, not two
+    return idx[:na], dist[:na]
 
 
 def knn2_ratio_match(bits_a, bits_b, valid_a, valid_b, ratio: float = 0.8,

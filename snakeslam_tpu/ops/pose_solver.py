@@ -20,6 +20,7 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -265,3 +266,41 @@ def pnp_ransac(
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
     return Ts[best], inl[best], scores[best]
+
+
+def pnp_refine_np(obs_pts, obs_uv, cam, bf, key, n_hypotheses: int = 256,
+                  bucket: int = 256):
+    """Host front door: PnP RANSAC + robust refine on a shape-bucketed pad.
+
+    Recovery paths (relocalization, brute-force re-track) call PnP with
+    that attempt's exact match count — every new count would compile a
+    fresh executable, and losses tend to happen in bursts.  Pads to
+    ``bucket`` multiples (mask=False rows are inert in both solvers) so
+    all attempts share one compile per bucket.
+
+    Returns (n0, T, inlier (n,) bool np, n_inl) with n = len(obs_pts)."""
+    import numpy as np
+
+    n = len(obs_pts)
+    p = -(-max(n, 1) // bucket) * bucket
+    pts = np.zeros((p, 3), dtype=np.float32)
+    pts[:n] = obs_pts
+    uv = np.zeros((p, 2), dtype=np.float32)
+    uv[:n] = obs_uv
+    n0, T, inlier, n_inl = _pnp_refine_jit(
+        jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(np.arange(p) < n),
+        cam, jnp.float32(bf), key, n_hypotheses)
+    return int(n0), T, np.asarray(inlier)[:n], int(n_inl)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def _pnp_refine_jit(pts, uv, mask, cam, bf, key, n_hypotheses):
+    T0, _, n0 = pnp_ransac(pts, uv, mask, cam, key,
+                           n_hypotheses=n_hypotheses)
+    obs = PoseObs(
+        points=pts, uv=uv,
+        right=jnp.full(pts.shape[0], -1.0, dtype=jnp.float32),
+        weight=jnp.ones(pts.shape[0], dtype=jnp.float32), mask=mask,
+    )
+    T, inlier, n_inl = robust_pose_refine(T0, obs, cam, bf)
+    return n0, T, inlier, n_inl

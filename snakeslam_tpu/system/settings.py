@@ -99,6 +99,11 @@ class Settings:
     max_points: int = 262144
     feature_slots: int = 1024       # device-side feature slot count
     local_map_slots: int = 4096     # fine-tracking local-map point slots
+    # pin the windowed runner's snapshot padding to local_map_slots instead
+    # of growing it in power-of-two buckets: one scan compile for the whole
+    # run and no chain restarts at bucket boundaries (long-run/bench mode;
+    # adaptive buckets stay the default so small maps keep smaller scans)
+    pin_local_map_bucket: bool = False
     lba_cam_slots: int = 48         # LBA window camera slots
     lba_point_slots: int = 8192
     lba_obs_slots: int = 16         # obs per point within the LBA window

@@ -23,7 +23,7 @@ from snakeslam_tpu.core import lie
 from snakeslam_tpu.map.slam_map import FrameData
 from snakeslam_tpu.ops import ba as BA
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
-from snakeslam_tpu.ops.matching import knn2_ratio_match
+from snakeslam_tpu.ops.matching import knn2_ratio_match_np
 from snakeslam_tpu.ops.twoview import (
     essential_ransac,
     homography_ransac,
@@ -86,14 +86,10 @@ class MonoInitializer:
     def _guided_match(self, f1: FrameData, f2: FrameData):
         """Descriptor knn with a flow-radius gate (optical-flow-style guided
         matching, MonoInitializer.cpp:619-694)."""
-        b1 = jnp.asarray(unpack_bits_np(f1.descriptors))
-        b2 = jnp.asarray(unpack_bits_np(f2.descriptors))
-        idx, dist = knn2_ratio_match(
-            b1, b2,
-            jnp.ones(f1.n, dtype=bool), jnp.ones(f2.n, dtype=bool),
+        idx, dist = knn2_ratio_match_np(
+            unpack_bits_np(f1.descriptors), unpack_bits_np(f2.descriptors),
             ratio=0.8, max_dist=64, cross_check=True,
         )
-        idx = np.asarray(idx)
         sel = idx >= 0
         # radius gate
         flow = np.linalg.norm(

@@ -366,10 +366,8 @@ class Tracker:
         import jax
 
         from snakeslam_tpu.ops.descriptors import unpack_bits_np
-        from snakeslam_tpu.ops.matching import knn2_ratio_match
-        from snakeslam_tpu.ops.pose_solver import (
-            PoseObs, pnp_ransac, robust_pose_refine,
-        )
+        from snakeslam_tpu.ops.matching import knn2_ratio_match_np
+        from snakeslam_tpu.ops.pose_solver import pnp_refine_np
 
         smap = self.map
         kf = self.last_kf
@@ -379,41 +377,24 @@ class Tracker:
         pts = pts[smap.pt_valid[pts]]
         if len(pts) < min_inliers:
             return None
-        idx, dist = knn2_ratio_match(
-            jnp.asarray(unpack_bits_np(frame.descriptors)),
-            jnp.asarray(smap.pt_bits[pts]),
-            jnp.ones(frame.n, dtype=bool),
-            jnp.ones(len(pts), dtype=bool),
+        idx, dist = knn2_ratio_match_np(
+            unpack_bits_np(frame.descriptors), smap.pt_bits[pts],
             ratio=0.8, max_dist=64,
         )
-        idx = np.asarray(idx)
         sel = idx >= 0
         if sel.sum() < min_inliers:
             return None
-        n_m = int(sel.sum())
         obs_pts = smap.pt_pos[pts[idx[sel]]]
         obs_uv = frame.uv[sel]
         if not hasattr(self, "_bf_key"):
             self._bf_key = jax.random.PRNGKey(self.s.random_seed + 29)
         self._bf_key, sub = jax.random.split(self._bf_key)
-        T0, _, n0 = pnp_ransac(
-            jnp.asarray(obs_pts, dtype=jnp.float32),
-            jnp.asarray(obs_uv, dtype=jnp.float32),
-            jnp.ones(n_m, dtype=bool), self.cam, sub, n_hypotheses=256,
-        )
-        if int(n0) < min_inliers:
+        n0, T, inlier, n_inl = pnp_refine_np(
+            obs_pts, obs_uv, self.cam, self.bf, sub, n_hypotheses=256)
+        if n0 < min_inliers:
             return None
-        obs = PoseObs(
-            points=jnp.asarray(obs_pts, dtype=jnp.float32),
-            uv=jnp.asarray(obs_uv, dtype=jnp.float32),
-            right=jnp.full(n_m, -1.0, dtype=jnp.float32),
-            weight=jnp.ones(n_m, dtype=jnp.float32),
-            mask=jnp.ones(n_m, dtype=bool),
-        )
-        T, inlier, n_inl = robust_pose_refine(T0, obs, self.cam, self.bf)
-        if int(n_inl) < min_inliers:
+        if n_inl < min_inliers:
             return None
-        inlier = np.asarray(inlier)
         matched_sel = np.zeros(frame.n, dtype=bool)
         sel_idx = np.nonzero(sel)[0]
         matched_sel[sel_idx[inlier]] = True

@@ -240,10 +240,13 @@ class WindowedRunner:
         # scales with the snapshot size, and each bucket compiles once
         uniq = np.unique(matched)
         n_live = int(self.tracker.map.pt_valid.sum())
-        bucket = max(1024, self.system.s.local_map_slots // 8)
-        while bucket < min(n_live + 256, self.system.s.local_map_slots):
-            bucket *= 2
-        bucket = min(bucket, self.system.s.local_map_slots)
+        if getattr(self.system.s, "pin_local_map_bucket", False):
+            bucket = self.system.s.local_map_slots
+        else:
+            bucket = max(1024, self.system.s.local_map_slots // 8)
+            while bucket < min(n_live + 256, self.system.s.local_map_slots):
+                bucket *= 2
+            bucket = min(bucket, self.system.s.local_map_slots)
         lm, ids = t._fine_local_map(uniq, n_slots=bucket)
         if lm is not None:
             t._fine_cache = (lm, ids)
