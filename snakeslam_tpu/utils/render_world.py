@@ -14,17 +14,22 @@ from __future__ import annotations
 
 import numpy as np
 
-PATCH = 13          # billboard side (odd)
+PATCH = 13          # default billboard side (odd)
 
 
-def _patches(n_points: int, seed: int) -> np.ndarray:
+def _patches(n_points: int, seed: int, patch: int = PATCH) -> np.ndarray:
+    """Distinctive billboard textures: blocky ~4px tiles (FAST corners at
+    every tile junction) with CONTINUOUS intensities.  Quantized levels
+    make billboards mutually self-similar, which starves ratio-test knn
+    matching (mono init, BoW) of unambiguous correspondences; continuous
+    tiles keep the corner geometry while making every billboard unique."""
     rng = np.random.default_rng(seed + 991)
-    # corner-rich blocky patches: 3-5 px tiles quantized to strong levels
-    base = rng.integers(0, 5, size=(n_points, 5, 5)).astype(np.float32)
-    base = base * 50.0 + 15.0
-    reps = -(-PATCH // 5)
+    cells = max(patch // 4, 5)
+    base = rng.uniform(15.0, 235.0,
+                       size=(n_points, cells, cells)).astype(np.float32)
+    reps = -(-patch // cells)
     up = np.repeat(np.repeat(base, reps, axis=1), reps, axis=2)
-    return up[:, :PATCH, :PATCH]
+    return up[:, :patch, :patch]
 
 
 def render_frame(world, T_cw: np.ndarray, baseline: float = 0.0,
@@ -40,6 +45,7 @@ def render_frame(world, T_cw: np.ndarray, baseline: float = 0.0,
     img = np.full((H, W), 110.0, dtype=np.float32)
     if patches is None:
         patches = _patches(len(world.points), world.seed)
+    psz = patches.shape[1]
     pc = world.points @ T_cw[:3, :3].T + T_cw[:3, 3]
     if baseline:
         pc = pc - np.array([baseline, 0.0, 0.0])
@@ -47,7 +53,7 @@ def render_frame(world, T_cw: np.ndarray, baseline: float = 0.0,
     vis = z > world.min_depth
     u = world.fx * pc[:, 0] / np.where(vis, z, 1.0) + world.cx
     v = world.fy * pc[:, 1] / np.where(vis, z, 1.0) + world.cy
-    r = PATCH // 2
+    r = psz // 2
     ui = np.floor(u).astype(np.int64)
     vi = np.floor(v).astype(np.int64)
     vis &= (ui >= r) & (ui + r + 1 < W) & (vi >= r) & (vi + r + 1 < H)
@@ -63,17 +69,18 @@ def render_frame(world, T_cw: np.ndarray, baseline: float = 0.0,
         dx = u[i] - ui[i]
         dy = v[i] - vi[i]
         p = pad[i]
-        shifted = ((1 - dy) * (1 - dx) * p[1:1 + PATCH, 1:1 + PATCH]
-                   + (1 - dy) * dx * p[1:1 + PATCH, 0:PATCH]
-                   + dy * (1 - dx) * p[0:PATCH, 1:1 + PATCH]
-                   + dy * dx * p[0:PATCH, 0:PATCH])
+        shifted = ((1 - dy) * (1 - dx) * p[1:1 + psz, 1:1 + psz]
+                   + (1 - dy) * dx * p[1:1 + psz, 0:psz]
+                   + dy * (1 - dx) * p[0:psz, 1:1 + psz]
+                   + dy * dx * p[0:psz, 0:psz])
         img[vi[i] - r:vi[i] + r + 1, ui[i] - r:ui[i] + r + 1] = shifted
     return img
 
 
-def render_sequence(world, trajectory, stereo: bool = True):
+def render_sequence(world, trajectory, stereo: bool = True,
+                    patch: int = PATCH):
     """Yield (timestamp, pose_cw, left_img, right_img|None) per pose."""
-    patches = _patches(len(world.points), world.seed)
+    patches = _patches(len(world.points), world.seed, patch)
     for ts, T_cw in trajectory:
         left = render_frame(world, T_cw, 0.0, patches)
         right = (render_frame(world, T_cw, world.baseline, patches)

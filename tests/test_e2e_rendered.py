@@ -15,7 +15,8 @@ from snakeslam_tpu.frontend.preprocess import Preprocess
 from snakeslam_tpu.system.settings import InputType, Settings
 from snakeslam_tpu.system.slam import SlamSystem
 from snakeslam_tpu.utils.render_world import render_sequence
-from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
+from snakeslam_tpu.utils.synthetic import (SyntheticWorld, loop_trajectory,
+                                           orbit_trajectory)
 
 
 @pytest.mark.slow
@@ -72,6 +73,155 @@ def test_rendered_stereo_pipeline_tracks():
     R = (U @ S @ Vt).T
     aligned = (R @ E.T).T + mu_r
     rmse = float(np.sqrt(((aligned - ref) ** 2).sum(axis=1).mean()))
-    # billboards are planar sprites, ORB localization is a couple px --
-    # a loose-but-meaningful gate on a 6.5 m-radius arc
-    assert rmse < 0.25, f"rendered-image ATE {rmse:.3f} m"
+    # billboards are planar fixed-size sprites, so off-center corners carry
+    # a built-in geometric inconsistency across views; observed RMSE is
+    # ~0.12 m on this 6.5 m-radius arc — gate at ~1.7x observed
+    assert rmse < 0.2, f"rendered-image ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_rendered_loop_closure_from_pixels():
+    """Loop closure from RAW PIXELS through the shipped BoW vocabulary: an
+    outward-facing full orbit inside a cylindrical billboard wall (the
+    corridor-loop geometry of the reference's EuRoC MH sequences).  Opposite
+    orbit sides see disjoint wall sections, so the revisit keyframes are
+    non-covisible with the originals and closing the ring requires a real
+    BoW detection + Sim3 registration + correction — the feature-level twin
+    is the bench's loop workload; this tier proves the whole chain works
+    from images (reference: Snake/LoopClosing/LoopClosing.cpp end-to-end).
+
+    Wall density is tuned so billboards rarely overlap in view (~90 visible
+    17-px boards per 320x240 frame); denser walls occlude each other
+    differently every frame, which destabilizes ORB descriptors."""
+    n_points = 680
+    world = SyntheticWorld(n_points=n_points, seed=11, image_size=(320, 240),
+                           fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                           baseline=0.12, extent=14.0)
+    # cylindrical wall band around the orbit (outward cameras must face
+    # billboard-rich geometry; the default uniform cube is too sparse there)
+    rng = np.random.default_rng(11 + 7)
+    ang = rng.uniform(0, 2 * np.pi, n_points)
+    rad = rng.uniform(9.5, 14.0, n_points)
+    h = rng.uniform(-2.5, 3.5, n_points)
+    world.points = np.stack(
+        [rad * np.sin(ang), h, -rad * np.cos(ang)], axis=1)
+
+    s = Settings()
+    s.input_type = InputType.Stereo
+    s.enable_imu = False
+    s.width, s.height = 320, 240
+    s.fx, s.fy, s.cx, s.cy = 260.0, 260.0, 160.0, 120.0
+    s.bf = 260.0 * 0.12
+    s.fd_features = 600
+    s.feature_slots = 1024
+    s.local_map_slots = 2048
+    s.lba_cam_slots = 16
+    s.lba_point_slots = 2048
+    s.lba_obs_slots = 8
+    s.th_depth = 20.0
+
+    detector = FeatureDetector(s)
+    pre = Preprocess(s)
+    system = SlamSystem(s)
+
+    n_frames = 200
+    tracked = 0
+    for i, (ts, T_cw, left, right) in enumerate(render_sequence(
+            world, loop_trajectory(n_frames, radius=7.0, fps=20.0),
+            patch=17)):
+        frame = detector.detect(left, i, ts)
+        right_feats = detector.detect(right, i + 10_000_000, ts)
+        pre.stereo_match(frame, right_feats)
+        frame.gt_pose_cw = T_cw
+        system.process_frame(frame)
+        if frame.pose_cw is not None:
+            tracked += 1
+
+    assert tracked >= int(0.95 * n_frames), f"tracked only {tracked}"
+    assert system.loop_closing.n_loops_closed >= 1, (
+        "no loop closure fired from pixels")
+    assert system.map.n_keyframes >= 30
+    assert system.map.n_points > 1000
+    rmse, _, n = system.ate_against_gt(with_scale=False)
+    # observed ~0.30 m accumulated-then-corrected drift on the 7 m-radius
+    # full orbit; gate at 2x observed
+    assert rmse < 0.6, f"rendered loop ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_rendered_mono_vi_from_pixels():
+    """Monocular-inertial from RAW PIXELS: rendered views + synthesized IMU
+    -> ORB -> mono init -> VI init recovers gyro bias, gravity and metric
+    scale.  The feature-level twin is tests/test_e2e_mono_vi.py; this tier
+    proves the full image front-end feeds the VI state machine (reference
+    runs EuRoC MH mono-VI from images, README.md).
+
+    Billboard geometry matters: ~250 landmarks with 29-px boards keeps
+    billboard overlap rare, so ORB descriptors stay stable across the
+    parallax sweep the mono initializer needs (dense boards occlude each
+    other differently every frame, which randomizes descriptors and
+    starves the ratio-test knn of matches)."""
+    from snakeslam_tpu.utils.imu_synthetic import orbit_pose_wb, synth_imu
+
+    n_frames = 110
+    fps = 10.0
+    bg_true = np.array([0.01, -0.008, 0.012])
+
+    def cam_traj():
+        for i in range(n_frames):
+            t = i / fps
+            R_wb, p = orbit_pose_wb(t)
+            T_wc = np.eye(4)
+            T_wc[:3, :3] = R_wb
+            T_wc[:3, 3] = p
+            yield t, np.linalg.inv(T_wc)
+
+    world = SyntheticWorld(n_points=250, seed=7, image_size=(416, 312),
+                           fx=341.0, fy=341.0, cx=208.0, cy=156.0,
+                           baseline=0.12, extent=10.0)
+    s = Settings()
+    s.input_type = InputType.Mono
+    s.enable_imu = True
+    s.width, s.height = 416, 312
+    s.fx, s.fy, s.cx, s.cy = 341.0, 341.0, 208.0, 156.0
+    s.bf = 341.0 * 0.12
+    s.fd_features = 800
+    s.feature_slots = 1024
+    s.local_map_slots = 2048
+    s.lba_cam_slots = 24
+    s.lba_point_slots = 4096
+    s.lba_obs_slots = 8
+
+    detector = FeatureDetector(s)
+    system = SlamSystem(s)
+    imu = synth_imu(orbit_pose_wb, 0.0, n_frames / fps, rate=200.0,
+                    bg=bg_true, gyro_noise=1e-4, acc_noise=1e-3)
+
+    prev_ts = None
+    tracked = 0
+    for i, (ts, T_cw, left, _) in enumerate(render_sequence(
+            world, cam_traj(), stereo=False, patch=29)):
+        frame = detector.detect(left, i, ts)
+        frame.gt_pose_cw = T_cw
+        if prev_ts is not None:
+            sel = (imu["t"] >= prev_ts - 1e-9) & (imu["t"] < ts - 1e-9)
+            frame.imu_omega = imu["omega"][sel]
+            frame.imu_acc = imu["acc"][sel]
+            frame.imu_dt = imu["dt"][sel]
+            frame.imu_t = imu["t"][sel]
+        prev_ts = ts
+        system.process_frame(frame)
+        if frame.pose_cw is not None:
+            tracked += 1
+
+    assert tracked >= int(0.9 * n_frames), f"tracked only {tracked}"
+    sol = system.imu_solver
+    assert sol.gyro_initialized, "gyro bias never initialized"
+    # looser than the feature-level gate: rendered-pixel ORB adds real
+    # localization noise (observed max-abs error ~6e-3)
+    assert np.abs(sol.bg - bg_true).max() < 1.2e-2, f"bg {sol.bg}"
+    assert sol.gravity_initialized, "gravity/scale never initialized"
+    rmse, scale, n = system.ate_against_gt(with_scale=True)
+    # observed: rmse ~0.107 m on a 6 m-radius orbit, scale err ~2e-3
+    assert rmse < 0.25, f"rendered mono-VI Sim3 ATE {rmse:.3f} m"
+    assert abs(scale - 1.0) < 0.05, f"metric scale error: {scale}"
