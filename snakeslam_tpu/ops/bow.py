@@ -115,11 +115,15 @@ def load_vocabulary(path) -> Vocabulary:
         idf=jnp.asarray(idf_np),
     )
     # pre-populate the host-side descent caches from the numpy source so
-    # the first transform never round-trips the tree through the device
+    # the first transform never round-trips the tree through the device.
+    # Entries carry the device array itself as element 0: the lookups
+    # verify `cached[0] is voc.node_bits`, so a recycled id() can never
+    # serve a stale tree, and the strong reference pins the array alive.
     _NP_VOC_CACHE.clear()
-    _NP_VOC_CACHE[id(voc.node_bits)] = (node_bits_np, idf_np)
+    _NP_VOC_CACHE[id(voc.node_bits)] = (voc.node_bits, node_bits_np, idf_np)
     _PACKED_VOC_CACHE.clear()
     _PACKED_VOC_CACHE[id(voc.node_bits)] = (
+        voc.node_bits,
         np.packbits(node_bits_np.astype(np.uint8), axis=-1,
                     bitorder="little"),
         idf_np,

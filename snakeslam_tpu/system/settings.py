@@ -78,6 +78,9 @@ class Settings:
     kfi_target_matches: int = 180
     th_map: int = 140
     initialization_quality: int = 1
+    # seeded probabilistic extra/indirect neighbors in the fine local map
+    # (TrackingFine.cpp:278-324 parity); off = deterministic top-15 only
+    fine_explore: bool = True
     # below this many keyframes a tracking loss clears the map instead of
     # entering recovery/relocalization (Tracking.cpp:200-244)
     reloc_min_keyframes: int = 20

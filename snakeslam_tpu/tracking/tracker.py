@@ -317,8 +317,11 @@ class Tracker:
         # for a fixed call sequence)
         self._fine_epoch = getattr(self, "_fine_epoch", 0) + 1
         epoch = self._fine_epoch
+        explore = getattr(self.s, "fine_explore", True)
 
         def coin(k, salt, prob):
+            if not explore:
+                return False
             h = (k * 2654435761 + epoch * 40503 + salt * 97) & 0xFFFFFFFF
             return (h % 65536) / 65536.0 < prob
 
