@@ -10,7 +10,7 @@ triangulation, fusion, LBA, loop/BoW back-ends — is identical to the dataset
 path, mirroring the reference's feature-cache replay mode,
 Snake/Preprocess/FeatureDetector.cpp:94-139).
 
-Two workloads:
+Three workloads:
 
   * **smooth** (the headline): gentle inward-facing arc, the analog of the
     reference's deterministic-evaluation setting (async=false,
@@ -22,6 +22,12 @@ Two workloads:
     whose revisit keyframes are non-covisible with the originals — a
     corridor-loop geometry where ~70 keyframes, the full mapping back-end,
     and ONE genuine loop-closure correction land inside the timed run.
+  * **mono_vi**: the north-star configuration (BASELINE.json targets EuRoC
+    MH_01 MONO-VI): monocular init -> multi-stage VI init (gyro bias,
+    gravity/scale, chain refinement — all INSIDE the timed run) ->
+    gyro-predicted windowed tracking with synchronous VI commits, on an
+    excited orbit with synthetic IMU (utils/imu_synthetic), reporting
+    tracked FPS + Sim3 ATE + recovered metric scale.
 
 Also reported: a device-time/utilization breakdown of the tracking scan
 (ms/frame, matcher arithmetic, achieved TFLOP/s vs the v5e bf16 peak), the
@@ -34,7 +40,7 @@ bound by per-frame host round trips.
 
 Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 64),
 BENCH_TWO_STAGE (default 1), BENCH_ASYNC (default 0), BENCH_LOOP (default
-1), BENCH_BUDGET_S (default 480).
+1), BENCH_MONO_VI (default 1), BENCH_BUDGET_S (default 480).
 """
 
 from __future__ import annotations
@@ -118,6 +124,75 @@ def _build_loop(seed, count, async_mode):
         settings, noise_px=0.3,
     ))
     return system, frames
+
+
+def _build_mono_vi(seed, count, fps=20.0):
+    """Mono-VI on an excited orbit (accelerometer excitation makes metric
+    scale observable, like the hand-held start of the EuRoC sequences) —
+    the analog of the reference's euroc.ini mono-VI evaluation
+    (Snake/IMU/ImuStateSolver.cpp:73-146)."""
+    from snakeslam_tpu.frontend.synthetic_source import (
+        apply_world_to_settings,
+        synthetic_frames,
+    )
+    from snakeslam_tpu.system.settings import InputType, Settings
+    from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.utils.imu_synthetic import orbit_pose_wb, synth_imu
+    from snakeslam_tpu.utils.synthetic import SyntheticWorld
+
+    settings = _base_settings()
+    settings.input_type = InputType.Mono
+    settings.enable_imu = True
+    settings.local_map_slots = 2048
+    world = SyntheticWorld(n_points=6000, seed=seed)
+    apply_world_to_settings(world, settings)
+    system = SlamSystem(settings)
+
+    def traj(n):
+        for i in range(n):
+            t = i / fps
+            R, p = orbit_pose_wb(t)
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = p
+            yield t, np.linalg.inv(T)
+
+    imu = synth_imu(orbit_pose_wb, 0.0, count / fps, rate=200.0,
+                    bg=np.array([0.01, -0.008, 0.012]),
+                    gyro_noise=1e-4, acc_noise=1e-3)
+    frames = list(synthetic_frames(
+        world, traj(count), settings, noise_px=0.3, imu=imu,
+    ))
+    return system, frames
+
+
+def _bench_mono_vi(window, n_frames=240):
+    """North-star lane: mono-VI tracked FPS with init inside the timed run."""
+    from snakeslam_tpu.tracking.windowed import WindowedRunner
+
+    # warmup run compiles the mono/VI paths (mono init 2-view RANSAC, the
+    # use_imu scan variant, VI solver stages, per-keyframe back-ends)
+    sys_w, frames_w = _build_mono_vi(11, 96)
+    WindowedRunner(sys_w, window=window, two_stage=True).run(frames_w)
+    system, frames = _build_mono_vi(7, n_frames)
+    runner = WindowedRunner(system, window=window, two_stage=True)
+    t0 = time.perf_counter()
+    runner.run(frames)
+    wall = time.perf_counter() - t0
+    rmse, scale, n = system.ate_against_gt(with_scale=True)
+    sol = system.imu_solver
+    return {
+        "fps": round(len(system.tracker.trajectory) / wall, 2),
+        "tracked": len(system.tracker.trajectory),
+        "frames": n_frames,
+        "ate_sim3_rmse_m": None if np.isnan(rmse) else round(rmse, 5),
+        "metric_scale_vs_gt": round(float(scale), 4),
+        "vi_initialized": bool(sol is not None
+                               and sol.gravity_initialized),
+        "keyframes": int(system.map.n_keyframes),
+        "workload": ("excited orbit, synthetic 200 Hz IMU, mono init + "
+                     "VI init inside the timed run"),
+    }
 
 
 def run_bench(n_frames: int | None = None, window: int | None = None):
@@ -213,8 +288,15 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
             "workload": "outward full orbit, non-covisible revisit",
         }
 
+    # ---- mono-VI workload (the north-star configuration) ------------------
+    mono_vi = None
+    if os.environ.get("BENCH_MONO_VI", "1") == "1" \
+            and _budget_left(budget_s) > 100:
+        mono_vi = _bench_mono_vi(window=min(window, 16))
+
     orb_fps, orb_stages = _bench_orb()
     return {
+        "mono_vi": mono_vi,
         "orb_fps": orb_fps,
         "orb_stages": orb_stages,
         "kf_cycle_ms": kf_cycle_ms,
@@ -445,6 +527,7 @@ def main():
             "points": res["n_points"],
             "scan": res.get("scan"),
             "loop": res.get("loop"),
+            "mono_vi": res.get("mono_vi"),
             "orb_fps": res.get("orb_fps"),
             "orb_stages": res.get("orb_stages"),
             "kf_cycle_ms": res.get("kf_cycle_ms"),

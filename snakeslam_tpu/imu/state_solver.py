@@ -15,11 +15,14 @@ Raw IMU sample windows are kept per keyframe edge so preintegration can be
 redone whenever the bias estimate changes (RecomputeWeights, :149-166);
 preintegration itself is the jitted scan in ops/imu.py.
 
-Camera<-body extrinsics (Settings.T_cam_body) are applied to the rotation
-chain; the position lever arm (t_cb) is currently neglected in the linear
-scale/gravity solve — identity-extrinsic rigs (and the synthetic tests) are
-exact, small-lever rigs like EuRoC incur a cm-scale approximation to be
-removed in a later round.
+Camera<-body extrinsics (Settings.T_cam_body) are applied throughout: the
+rotation chains use body rotations R_wb = (R_cb^T R_cw)^T, and the position
+lever arm (t_cb) is carried exactly through the linear scale/gravity solve
+(the body position is affine in the visual scale, p_wb = s*p_wc + R_wc t_cb,
+so the known lever contribution moves to the right-hand side — matching the
+reference's body-frame solve, ImuStateSolver.cpp:352-466).  Velocity
+propagation and the chain refinement evaluate body positions at the current
+metric scale.
 """
 
 from __future__ import annotations
@@ -132,9 +135,9 @@ class ImuStateSolver:
         self.edges[kf] = edge
         # propagate velocity estimate
         if self.gravity_initialized:
-            Rwb_i = self.map.kf_pose[prev_kf][:3, :3].T
+            Rwb_i = self._body_rotation(prev_kf)
             v_i = self.map.kf_velocity[prev_kf]
-            p_i = -Rwb_i @ self.map.kf_pose[prev_kf][:3, 3]
+            p_i = self._body_positions([prev_kf])[0]
             Rj, vj, pj = IMU.predict(
                 edge.preint, jnp.asarray(Rwb_i, F64), jnp.asarray(v_i, F64),
                 jnp.asarray(p_i, F64), jnp.asarray(self.gravity, F64),
@@ -302,6 +305,29 @@ class ImuStateSolver:
             self.map_reset_requested = True
             self.gyro_iterations = 0
 
+    def _lever_args(self, ids):
+        """Camera->world rotations + t_cb for the lever-arm-exact linear
+        solve (ImuStateSolver.cpp:352-466 solves in body frame with full
+        camera_to_body).  Identity rigs skip the extra term entirely."""
+        t_cb = self.T_cb[:3, 3]
+        identity = (np.abs(t_cb).max() < 1e-12)
+        if identity:
+            return dict(with_lever=False)
+        R_cam = np.stack([self.map.kf_pose[k][:3, :3].T for k in ids])
+        return dict(R_cam=jnp.asarray(R_cam, F64),
+                    t_cb=jnp.asarray(t_cb, F64), with_lever=True)
+
+    def _body_positions(self, ids) -> np.ndarray:
+        """Body origin in world per keyframe: p_wb = p_wc + R_wc t_cb
+        (exact once the visual scale is metric)."""
+        t_cb = self.T_cb[:3, 3]
+        out = np.empty((len(ids), 3))
+        for n, k in enumerate(ids):
+            T = self.map.kf_pose[k]
+            R_wc = T[:3, :3].T
+            out[n] = -R_wc @ T[:3, 3] + R_wc @ t_cb
+        return out
+
     def _stage_gravity_scale(self):
         chain = self._chain_keyframes()
         if len(chain) < MIN_KF_FOR_SCALE:
@@ -310,14 +336,13 @@ class ImuStateSolver:
         chain = self._connected_suffix(chain)
         if len(chain) < MIN_KF_FOR_SCALE:
             return
-        R = np.stack(
-            [self.map.kf_pose[chain[0][0]][:3, :3].T]
-            + [self.map.kf_pose[j][:3, :3].T for _, j, _ in chain]
-        )
+        ids0 = [chain[0][0]] + [j for _, j, _ in chain]
+        # body rotations (camera<-body extrinsics applied) + camera centers;
+        # the lever-arm term carries t_cb exactly through the triplets
+        R = np.stack([self._body_rotation(k) for k in ids0])
         p = np.stack(
-            [-R[0] @ self.map.kf_pose[chain[0][0]][:3, 3]]
-            + [-self.map.kf_pose[j][:3, :3].T @ self.map.kf_pose[j][:3, 3]
-               for _, j, _ in chain]
+            [-self.map.kf_pose[k][:3, :3].T @ self.map.kf_pose[k][:3, 3]
+             for k in ids0]
         )
         pre = [e.preint for _, _, e in chain]
         dt = np.array([float(x.dt) for x in pre])
@@ -329,6 +354,7 @@ class ImuStateSolver:
             jnp.asarray(dp[:-1], F64), jnp.asarray(dp[1:], F64),
             jnp.asarray(dv[:-1], F64),
             jnp.ones(len(pre) - 1, dtype=bool),
+            **self._lever_args(ids0),
         )
         # NOTE: the joint scale/gravity/acc-bias solve is ill-conditioned on
         # short chains with noisy visual poses (ba absorbs scale), so the
@@ -360,17 +386,12 @@ class ImuStateSolver:
         self.gravity = np.array([0.0, 0.0, -IMU.GRAVITY])
         self.gravity_initialized = True
 
-        # velocities in the new (metric, gravity-aligned) frame
+        # velocities in the new (metric, gravity-aligned) frame — body
+        # rotations and body positions (lever arm applied at metric scale)
         chain = self._chain_keyframes()
-        R = np.stack(
-            [self.map.kf_pose[chain[0][0]][:3, :3].T]
-            + [self.map.kf_pose[j][:3, :3].T for _, j, _ in chain]
-        )
-        p = np.stack(
-            [-R[0] @ self.map.kf_pose[chain[0][0]][:3, 3]]
-            + [-self.map.kf_pose[j][:3, :3].T @ self.map.kf_pose[j][:3, 3]
-               for _, j, _ in chain]
-        )
+        ids0 = [chain[0][0]] + [j for _, j, _ in chain]
+        R = np.stack([self._body_rotation(k) for k in ids0])
+        p = self._body_positions(ids0)
         self.recompute_weights()
         pre = [e.preint for _, _, e in chain]
         vel = IMU.velocities_from_pairs(
@@ -416,11 +437,13 @@ class ImuStateSolver:
         if len(chain) < 3:
             return
         ids = [chain[0][0]] + [j for _, j, _ in chain]
-        R = np.stack([self.map.kf_pose[k][:3, :3].T for k in ids])
-        p = np.stack(
-            [-self.map.kf_pose[k][:3, :3].T @ self.map.kf_pose[k][:3, 3]
-             for k in ids]
-        )
+        # body rotations + body positions: the chain residuals compare
+        # against body-frame preintegrations.  (The solved scale still
+        # multiplies the full body position; the lever part is metric and
+        # scale-invariant, a ~|t_cb|*(s-1) approximation that vanishes as
+        # s -> 1 in the refinement stages.)
+        R = np.stack([self._body_rotation(k) for k in ids])
+        p = self._body_positions(ids)
         pre = [e.preint for _, _, e in chain]
         # velocities are free variables: re-initialize them closed-form from
         # the current poses + preintegrations so insertion-time prediction

@@ -18,18 +18,68 @@ import jax
 import jax.numpy as jnp
 
 from snakeslam_tpu.core import lie
+from snakeslam_tpu.core.camera import Pinhole
+from snakeslam_tpu.core.pyramid import ScalePyramid
 from snakeslam_tpu.loop.keyframe_database import KeyframeDatabase
 from snakeslam_tpu.map.slam_map import SlamMap, transform_pose_cw
 from snakeslam_tpu.ops import bow as BOW
+from snakeslam_tpu.ops import matching as M
 from snakeslam_tpu.ops.descriptors import unpack_bits_np
 from snakeslam_tpu.ops.matching import knn2_ratio_match_np
 from snakeslam_tpu.ops.pgo import PoseGraph, solve_pgo
+from snakeslam_tpu.ops.pose_solver import PoseObs, robust_pose_refine
 from snakeslam_tpu.ops.sim3_solver import sim3_ransac
 from snakeslam_tpu.system.settings import InputType, Settings
+from snakeslam_tpu.tracking.staging import kf_features_cached, snapshot_points
 
 MIN_LOOP_KF_GAP = 10        # candidate must be this many KFs older
 COOLDOWN_KFS = 4            # LoopClosing.cpp:29-59
 MIN_SIM3_INLIERS = 20
+MIN_POSE_REF_INLIERS = 30   # LoopDetector.cpp:287
+MIN_CLOSE_POINTS = 30       # LoopDetector.cpp:310
+MIN_SCALE_INLIERS = 15      # LoopDetector.cpp:351
+MIN_TOTAL_MATCHES = 40      # LoopDetector.cpp:449
+
+
+@jax.jit
+def _verify_search_refine(lm, feat, T0, cam, bf, bounds, st):
+    """Guided projection re-search of loop points into the current keyframe
+    at the corrected pose + robust pose refinement (the reference's
+    post-RANSAC verification core, LoopDetector.cpp:272-290:
+    SearchByProjectionFrameToKeyframe(radius 5, th 50) + RefinePoseWithMatches).
+
+    Returns (T_refined, assign, inlier_mask, n_inliers, range_m, depth_meas).
+    """
+    out = M.search_by_projection_fine(
+        lm, feat, T0, cam, bf, bounds, st,
+        feat_free=feat.valid, th=5.0, ratio=1.0, feature_error=50,
+    )
+    assign = out["feat_point"]
+    matched = assign >= 0
+    P = lm.position.shape[0]
+    pidx = jnp.clip(assign, 0, P - 1)
+    inv_scales = 1.0 / st.scales
+    obs = PoseObs(
+        points=lm.position[pidx], uv=feat.uv, right=feat.right,
+        weight=inv_scales[jnp.clip(feat.octave, 0, st.levels - 1)],
+        mask=matched,
+    )
+    T1, inlier, n_inl = robust_pose_refine(
+        T0, obs, cam, bf, outer_iters=3, inner_iters=3)
+    inlier = inlier & matched
+    # range (norm) of each matched loop point in the refined frame — the
+    # reference's per-point scale consensus uses (pose * p).norm()
+    # (LoopDetector.cpp:332-334)
+    pc = lie.transform_points(T1, lm.position[pidx])
+    rng = jnp.linalg.norm(pc, axis=-1)
+    # measured stereo depth for the close-point gate (mono features carry
+    # right < 0 -> depth -1, always "close", LoopDetector.cpp:294-314)
+    depth_meas = jnp.where(
+        feat.right > 0,
+        bf / jnp.maximum(feat.uv[:, 0] - feat.right, 1e-3),
+        -1.0,
+    )
+    return T1, assign, inlier, n_inl, rng, depth_meas
 
 
 class LoopClosing:
@@ -47,6 +97,20 @@ class LoopClosing:
         self.n_loops_closed = 0
         self.key = jax.random.PRNGKey(settings.random_seed + 7)
         self._searcher = None
+        # device-side config for the geometric verification re-search
+        self.cam = Pinhole.create(settings.fx, settings.fy, settings.cx,
+                                  settings.cy)
+        self.bf = jnp.float32(settings.bf)
+        self.bounds = (jnp.float32(0.0), jnp.float32(0.0),
+                       jnp.float32(settings.width),
+                       jnp.float32(settings.height))
+        pyr = ScalePyramid.create(settings.fd_levels,
+                                  settings.fd_scale_factor)
+        self.st = M.ScaleTables(
+            scales=jnp.asarray(pyr.scales),
+            log_scale_factor=jnp.float32(pyr.log_scale_factor),
+            levels=pyr.levels,
+        )
 
     def _map_searcher(self):
         """Lazily built projection-fusion helper for SearchAndFuse."""
@@ -87,10 +151,12 @@ class LoopClosing:
         if len(cov) == 0:
             return None
         v_kf = self.db.vectors[kf] if self.db.present[kf] else None
+        w_kf = self.db.words.get(kf)
         if v_kf is None or not v_kf.any():
             n = int(smap.kf_n_feat[kf])
-            _, v_kf = self.db.compute_frame_vector(
+            w_kf, v_kf = self.db.compute_frame_vector(
                 smap.kf_feat_desc[kf, :n])
+            w_kf = np.unique(w_kf)
         cov_present = [c for c in cov if self.db.present[c]]
         if not cov_present:
             return None
@@ -101,13 +167,17 @@ class LoopClosing:
         ).sum(axis=-1)
         min_score = max(float(cov_scores.min()) * 0.8, 0.01)
 
-        cov_all, _ = smap.covisible_keyframes(kf, min_weight=1)
-        exclude = set(int(c) for c in cov_all) | {kf}
-        ids, scores = self.db.query(v_kf, exclude=exclude,
-                                    min_score=min_score, top_n=5)
-        # temporal gap gate
-        ids = [int(i) for i in ids
-               if kf_seq.get(kf, 0) - kf_seq.get(int(i), 0) >= MIN_LOOP_KF_GAP]
+        # temporal-gap exclusions go in BEFORE the ratio filters so recent
+        # keyframes cannot eat the score-ratio budget of true candidates
+        too_recent = {
+            int(k) for k in smap.valid_keyframes()
+            if kf_seq.get(kf, 0) - kf_seq.get(int(k), 0) < MIN_LOOP_KF_GAP
+        }
+        ids, scores = self.db.detect_loop_candidates(
+            kf, min_score, top_n=5, v=v_kf, words=w_kf,
+            extra_exclude=too_recent,
+        )
+        ids = [int(i) for i in ids]
         if not ids:
             self.consistency_count = 0
             self.prev_candidates = set()
@@ -167,8 +237,95 @@ class LoopClosing:
         if int(n) < MIN_SIM3_INLIERS:
             return None
         inl = inl[:npairs]
-        return (float(s), R.astype(np.float64), t.astype(np.float64),
-                (pts_new[inl], pts_old[inl]))
+        return self._verify_sim3(
+            kf, cand, float(s), R.astype(np.float64), t.astype(np.float64),
+            (pts_new[inl], pts_old[inl]))
+
+    def _verify_sim3(self, kf: int, cand: int, s: float, R: np.ndarray,
+                     t: np.ndarray, ransac_pairs):
+        """Geometric verification of a RANSAC Sim3 hypothesis
+        (LoopDetector.cpp:262-374): guided projection re-search of the loop
+        keyframe's points into the current keyframe at the corrected pose,
+        pose refinement with >= 30 inliers, a close-point count gate, robust
+        per-point scale re-estimation (mono), and a total-match gate.
+        Returns the refined (s, R, t, pairs) or None when any gate fails."""
+        smap = self.map
+        T_kf = smap.kf_pose[kf]
+        T_corr = transform_pose_cw(T_kf, s, R, t)
+
+        # loop-side points observed by the candidate keyframe
+        loop_pts = smap.keyframe_points(cand)
+        loop_pts = loop_pts[smap.pt_valid[loop_pts]]
+        if len(loop_pts) < MIN_POSE_REF_INLIERS:
+            return None
+        bucket = 512
+        while bucket < min(len(loop_pts), self.s.local_map_slots):
+            bucket *= 2
+        lm, lm_ids = snapshot_points(smap, loop_pts, bucket)
+        feat = kf_features_cached(smap, kf, self.s.feature_slots)
+
+        T1, assign, inlier, n_inl, rng, depth_meas = _verify_search_refine(
+            lm, feat, jnp.asarray(T_corr, dtype=jnp.float32),
+            self.cam, self.bf, self.bounds, self.st,
+        )
+        from snakeslam_tpu.utils.fetch import fetch_list
+
+        T1, assign, inlier, n_inl, rng, depth_meas = fetch_list(
+            [T1, assign, inlier, n_inl, rng, depth_meas])
+        if int(n_inl) < MIN_POSE_REF_INLIERS:
+            return None
+        nf = int(smap.kf_n_feat[kf])
+        inlier = inlier[:nf]
+        assign = assign[:nf]
+        rng = rng[:nf]
+        depth_meas = depth_meas[:nf]
+
+        # close-point gate (LoopDetector.cpp:292-314): mono depth_meas = -1
+        # always counts close; stereo needs measured depth <= th_depth
+        th_depth = float(self.s.th_depth) if self.s.th_depth > 0 else np.inf
+        if int(np.sum(inlier & (depth_meas <= th_depth))) < MIN_CLOSE_POINTS:
+            return None
+        if int(inlier.sum()) < MIN_TOTAL_MATCHES:
+            return None
+
+        s_out = s
+        if self.use_scale:
+            # robust per-point scale consensus (LoopDetector.cpp:317-357):
+            # features with BOTH a current-map observation and a matched
+            # loop point vote point_scale = |T1 p_loop| / |T_kf p_cur|
+            cur_obs = smap.kf_obs[kf, :nf]
+            has_cur = (cur_obs >= 0) & smap.pt_valid[np.maximum(cur_obs, 0)]
+            vote = inlier & has_cur
+            if vote.any():
+                p_cur = smap.pt_pos[cur_obs[vote]]
+                z2 = np.linalg.norm(
+                    p_cur @ T_kf[:3, :3].T + T_kf[:3, 3], axis=-1)
+                point_scale = rng[vote] / np.maximum(z2, 1e-9)
+                rel = (np.abs(point_scale - s)
+                       / np.maximum(np.abs(point_scale), abs(s)))
+                good = rel < 0.1
+                if int(good.sum()) < MIN_SCALE_INLIERS:
+                    return None
+                s_out = float(point_scale[good].mean())
+            else:
+                return None
+
+        # recover the world similarity that maps the refined pose:
+        # transform_pose_cw(T_kf, s', R', t') == T1
+        T1 = np.asarray(T1, dtype=np.float64)
+        Rn = T1[:3, :3]
+        R_out = Rn.T @ T_kf[:3, :3]
+        t_out = Rn.T @ (s_out * T_kf[:3, 3] - T1[:3, 3])
+
+        # fusion pairs from the re-search: current-side point <-> loop point
+        cur_obs = smap.kf_obs[kf, :nf]
+        has_cur = (cur_obs >= 0) & smap.pt_valid[np.maximum(cur_obs, 0)]
+        pair_sel = inlier & has_cur
+        pts_new = cur_obs[pair_sel]
+        pts_old = lm_ids[assign[pair_sel]]
+        if len(pts_new) < 3:
+            pts_new, pts_old = ransac_pairs
+        return (s_out, R_out, t_out, (pts_new, pts_old))
 
     def _match_points(self, kf: int, cand: int):
         """Descriptor matching between the two KFs' observed map points."""

@@ -176,10 +176,10 @@ def _right_jacobian_inv(w):
 # (SolveScaleGravityLinear / SolveScaleGravityBiasLinear parity)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("with_acc_bias",))
+@functools.partial(jax.jit, static_argnames=("with_acc_bias", "with_lever"))
 def solve_scale_gravity(
     R: jax.Array,         # (K, 3, 3) body->world (visual, unscaled)
-    p: jax.Array,         # (K, 3) positions (visual, unscaled)
+    p: jax.Array,         # (K, 3) camera centers (visual, unscaled)
     dt12: jax.Array,      # (K-2,) preint dt between i,i+1
     dt23: jax.Array,      # (K-2,) between i+1,i+2
     dp12: jax.Array,      # (K-2, 3) preintegrated position deltas
@@ -190,6 +190,9 @@ def solve_scale_gravity(
     Jp23_ba: jax.Array | None = None,
     Jv12_ba: jax.Array | None = None,
     with_acc_bias: bool = False,
+    R_cam: jax.Array | None = None,     # (K, 3, 3) camera->world rotations
+    t_cb: jax.Array | None = None,      # (3,) body origin in camera frame
+    with_lever: bool = False,
 ):
     """Linear estimation of scale s, gravity g (and optionally acc bias).
 
@@ -200,6 +203,18 @@ def solve_scale_gravity(
         + g * [-0.5 * dt23 * (dt12 + dt23)]  (times identity)
         (+ ba-Jacobian terms)
       = R_i dp12 * (-dt23/dt12) + R_i dv12 * dt23 + R_j dp23
+        (- lever-arm term, see below)
+
+    Camera-IMU extrinsics (the reference solves in body frame with full
+    camera_to_body, Snake/IMU/ImuStateSolver.cpp:352-466 via saiga's
+    SolveScaleGravityLinear):  the body position is affine in the visual
+    scale, p_wb = s * p_wc + R_wc t_cb, so the rotation chain R must be
+    BODY rotations (R_wb = R_wc R_cb^-1) and the known lever contribution
+
+        [(R_wc_k - R_wc_j) - (R_wc_j - R_wc_i) * dt23/dt12] @ t_cb
+
+    moves to the right-hand side.  Identity extrinsics reduce exactly to
+    the lever-free equations.
 
     Returns (s, g (3,), ba (3,), residual_rms).
     """
@@ -216,6 +231,13 @@ def solve_scale_gravity(
         + jnp.einsum("kij,kj->ki", R_i, dv12) * dt23[:, None]
         + jnp.einsum("kij,kj->ki", R_j, dp23)
     )
+    if with_lever:
+        arm_i = jnp.einsum("kij,j->ki", R_cam[:-2], t_cb)
+        arm_j = jnp.einsum("kij,j->ki", R_cam[1:-1], t_cb)
+        arm_k = jnp.einsum("kij,j->ki", R_cam[2:], t_cb)
+        gamma = gamma - (
+            (arm_k - arm_j) - (arm_j - arm_i) * (dt23 / dt12)[:, None]
+        )
     if with_acc_bias:
         # d(gamma)/d(ba): the preint deltas shift by J_*_ba @ ba
         Aba = (

@@ -177,12 +177,15 @@ def search_by_projection_fine(
     feat_free: jax.Array,
     th: float = 1.0,
     ratio: float = 0.9,
+    feature_error: int = TH_HIGH,
 ):
     """Local-map-point -> frame matching for fine tracking.
 
     Mirrors SearchByProjection2 (reference: SnakeORBMatcher.cpp:365-526):
     frustum + scale-region + view-cos gates, viewing-cos radius, predicted
-    octave window, best/second-best with level-aware ratio test, TH_HIGH cut.
+    octave window, best/second-best with level-aware ratio test, TH_HIGH cut
+    (``feature_error`` tightens the cut — loop verification re-search uses
+    50, SnakeORBMatcher::SearchByProjectionFrameToKeyframe callers).
 
     Args:
       feat_free: (N,) bool — feature has no map point yet.
@@ -215,7 +218,7 @@ def search_by_projection_fine(
     lvl1 = frame.octave[best_idx]
     lvl2 = frame.octave[best2_idx]
 
-    ok = (best <= TH_HIGH) & visible
+    ok = (best <= feature_error) & visible
     # ratio applies only when best & second-best share an octave
     # (SnakeORBMatcher.cpp:508-512)
     same_level = (lvl1 == lvl2) & (best2 < INVALID_DIST)

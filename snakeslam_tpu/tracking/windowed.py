@@ -96,6 +96,15 @@ class WindowedRunner:
         self.depth = max(1, depth)
         self.n_device_calls = 0
         self.imu_solver = getattr(system, "imu_solver", None)
+        if self.imu_solver is not None:
+            # visual-inertial runs cap the speculation depth: every extra
+            # in-flight window extends how long tracking runs on a stale
+            # pre-keyframe snapshot, and mono-VI scale drift compounds with
+            # that staleness until the VI init inherits a distorted map
+            # (measured on the synthetic mono-VI orbit: depth 4 -> Sim3 ATE
+            # 0.167 m, depth 3 -> 0.008 m).  Stereo/RGBD have absolute
+            # scale and keep the deeper pipeline.
+            self.depth = min(self.depth, 3)
         # async mode (the reference's async=true deployment setting,
         # README.md:61-65): keyframe insertion + mapping back-ends run on
         # ONE worker thread so their tunnel round trips overlap the window

@@ -245,3 +245,48 @@ def test_imu_sequence_merge_on_keyframe_cull():
     assert len(e0.omega) == 2 * int(dt_kf * rate)
     # and the suffix is the whole chain (no truncation)
     assert sol._connected_suffix(chain) == chain
+
+
+@pytest.mark.slow
+def test_scale_gravity_with_lever_arm():
+    """Camera-IMU lever arm carried exactly through the triplet equations
+    (reference solves in body frame with full camera_to_body extrinsics,
+    Snake/IMU/ImuStateSolver.cpp:352-466).  A 5 cm lever on an EuRoC-like
+    rotated rig must recover scale within 1%."""
+    s_true = 2.2
+    # camera<-body: 90 deg rotation + 5 cm offset (EuRoC-like rig)
+    R_cb = np.array([[0.0, -1.0, 0.0],
+                     [1.0, 0.0, 0.0],
+                     [0.0, 0.0, 1.0]])
+    t_cb = np.array([0.05, -0.02, 0.01])
+    R_wb, p_wb, v, preints = _kf_data(n_kf=14)
+    # camera pose from the body trajectory: T_wc = T_wb * T_cb^-1
+    R_cam = np.einsum("kij,lj->kil", R_wb, R_cb)      # R_wb @ R_cb^T
+    t_bc = -R_cb.T @ t_cb                              # camera origin in body
+    p_cam = p_wb + np.einsum("kij,j->ki", R_wb, t_bc)
+    p_vis = p_cam / s_true
+    dt12 = jnp.asarray([float(pr.dt) for pr in preints[:-1]], F64)
+    dt23 = jnp.asarray([float(pr.dt) for pr in preints[1:]], F64)
+    dp12 = jnp.stack([pr.dp for pr in preints[:-1]])
+    dp23 = jnp.stack([pr.dp for pr in preints[1:]])
+    dv12 = jnp.stack([pr.dv for pr in preints[:-1]])
+    valid = jnp.ones(len(preints) - 1, dtype=bool)
+    # note: the visual estimate scales camera centers, but the lever
+    # contribution R_wc t_cb is metric — reconstruct body rotations from
+    # the camera rotations as the state solver does (R_wb = R_wc R_cb)
+    R_body = np.einsum("kij,jl->kil", R_cam, R_cb)
+    s, g, ba, rms = IMU.solve_scale_gravity(
+        jnp.asarray(R_body, F64), jnp.asarray(p_vis, F64),
+        dt12, dt23, dp12, dp23, dv12, valid,
+        R_cam=jnp.asarray(R_cam, F64), t_cb=jnp.asarray(t_cb, F64),
+        with_lever=True,
+    )
+    assert abs(float(s) - s_true) / s_true < 0.01, f"scale {float(s)}"
+    assert np.abs(np.asarray(g) - G_WORLD).max() < 0.12
+    # the lever-free solve must be measurably worse on the same rig —
+    # the term this test guards actually matters
+    s0, g0, _, _ = IMU.solve_scale_gravity(
+        jnp.asarray(R_body, F64), jnp.asarray(p_vis, F64),
+        dt12, dt23, dp12, dp23, dv12, valid,
+    )
+    assert abs(float(s0) - s_true) > abs(float(s) - s_true)
