@@ -29,6 +29,11 @@ Three workloads:
     excited orbit with synthetic IMU (utils/imu_synthetic), reporting
     tracked FPS + Sim3 ATE + recovered metric scale.
 
+  * **e2e_pixels**: image -> pose end to end on RENDERED 752x480 stereo
+    pairs — batched ORB + dense stereo matching chunks pipelined into the
+    scan-window device queue (frontend/pixels.py), H2D image transfer
+    inside the timed run.
+
 Also reported: a device-time/utilization breakdown of the tracking scan
 (ms/frame, matcher arithmetic, achieved TFLOP/s vs the v5e bf16 peak), the
 batched ORB image front-end on rendered scenes with a per-stage table, and
@@ -40,7 +45,8 @@ bound by per-frame host round trips.
 
 Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 64),
 BENCH_TWO_STAGE (default 1), BENCH_ASYNC (default 0), BENCH_LOOP (default
-1), BENCH_MONO_VI (default 1), BENCH_BUDGET_S (default 480).
+1), BENCH_MONO_VI (default 1), BENCH_E2E_PIXELS (default 1),
+BENCH_BUDGET_S (default 480).
 """
 
 from __future__ import annotations
@@ -58,6 +64,17 @@ _V5E_BF16_PEAK_TFLOPS = 197.0
 
 def _budget_left(budget_s: float) -> float:
     return budget_s - (time.monotonic() - _PROC_T0)
+
+
+def _wake_tunnel():
+    """One tiny device round trip right before a timed region.  The remote
+    tunnel parks after host-side idle periods (workload construction takes
+    seconds of pure host work) and the first fetch afterwards can stall for
+    up to ~30 s reconnecting; that cost belongs to the environment, not the
+    workload, so every timed region starts from a woken tunnel."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.arange(8, dtype=jnp.float32) + 1.0)
 
 
 def _base_settings():
@@ -176,6 +193,7 @@ def _bench_mono_vi(window, n_frames=240):
     WindowedRunner(sys_w, window=window, two_stage=True).run(frames_w)
     system, frames = _build_mono_vi(7, n_frames)
     runner = WindowedRunner(system, window=window, two_stage=True)
+    _wake_tunnel()
     t0 = time.perf_counter()
     runner.run(frames)
     wall = time.perf_counter() - t0
@@ -195,10 +213,82 @@ def _bench_mono_vi(window, n_frames=240):
     }
 
 
+def _bench_e2e_pixels(window, n_frames=160):
+    """Pixels-in end-to-end lane: rendered EuRoC-sized (752x480) stereo
+    pairs -> batched ORB + dense stereo matching on device -> windowed
+    tracking, with extraction chunks interleaved into the scan-window
+    device queue (frontend/pixels.PixelFrameSequence — the analog of the
+    reference's detection thread overlapping tracking,
+    Snake/Preprocess/FeatureDetector.cpp:58-80).  Reports image -> pose
+    frames/s including H2D image transfer (uint8) inside the timed run."""
+    from snakeslam_tpu.frontend.pixels import PixelFrameSequence
+    from snakeslam_tpu.frontend.synthetic_source import (
+        apply_world_to_settings,
+    )
+    from snakeslam_tpu.system.slam import SlamSystem
+    from snakeslam_tpu.tracking.windowed import WindowedRunner
+    from snakeslam_tpu.utils.render_world import render_sequence
+    from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
+
+    settings = _base_settings()
+    world = SyntheticWorld(n_points=2600, seed=13)   # 752x480 default
+    apply_world_to_settings(world, settings)
+    settings.fd_features = 1000
+
+    L, R, ts, gt = [], [], [], []
+    for t, T_cw, left, right in render_sequence(
+            world, orbit_trajectory(n_frames, radius=7.0,
+                                    arc=1.2 * n_frames / 400.0, fps=200.0)):
+        L.append(left.astype(np.uint8))
+        R.append(right.astype(np.uint8))
+        ts.append(t)
+        gt.append(T_cw)
+    L = np.stack(L)
+    R = np.stack(R)
+
+    def one_run():
+        system = SlamSystem(settings)
+        seq = PixelFrameSequence(settings, L, R, ts, gt, chunk=window)
+        runner = WindowedRunner(system, window=window, two_stage=True)
+        runner.run(seq)
+        return system
+
+    one_run()                       # warm: compiles frontend + scan
+    best = None
+    for _ in range(2):
+        _wake_tunnel()
+        t0 = time.perf_counter()
+        system = one_run()
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, system)
+    wall, system = best
+    rmse, _, _ = system.ate_against_gt(with_scale=False)
+    return {
+        "fps": round(len(system.tracker.trajectory) / wall, 1),
+        "tracked": len(system.tracker.trajectory),
+        "frames": n_frames,
+        "ate_rmse_m": None if np.isnan(rmse) else round(rmse, 5),
+        "keyframes": int(system.map.n_keyframes),
+        "image": "752x480 uint8 stereo pairs, 1000 features",
+        "workload": ("rendered billboard world; extraction chunks "
+                     "pipelined into the scan-window device queue"),
+    }
+
+
+# progressive results: lanes write here as they complete so the SIGTERM
+# handler (driver-side timeouts; the tunnel can stall for minutes) can
+# still emit a valid JSON line with whatever finished
+_RES: dict = {}
+
+
 def run_bench(n_frames: int | None = None, window: int | None = None):
     import os
 
     from snakeslam_tpu.tracking.windowed import WindowedRunner
+
+    res = _RES
+    res.clear()
 
     if n_frames is None:
         n_frames = int(os.environ.get("BENCH_FRAMES", 400))
@@ -235,6 +325,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     for k in range(4):
         system, frames = _build_smooth(7, n_frames, async_mode)
         runner = WindowedRunner(system, window=window, two_stage=two_stage)
+        _wake_tunnel()
         t0 = time.perf_counter()
         runner.run(frames)
         wall = time.perf_counter() - t0
@@ -248,8 +339,15 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     n_tracked = len(system.tracker.trajectory)
     fps = n_tracked / wall
     rmse, scale, n = system.ate_against_gt(with_scale=False)
-    scan = _bench_scan(system, runner, frames, two_stage)
-    kf_cycle_ms = _bench_kf_cycle(system)
+    res.update(
+        fps=fps, fps_median=n_tracked / float(np.median(walls)),
+        n_runs=len(walls), n_tracked=n_tracked, n_frames=n_frames,
+        wall_s=wall, ate_rmse=rmse,
+        n_keyframes=system.map.n_keyframes, n_points=system.map.n_points,
+        device_calls=runner.n_device_calls,
+    )
+    res["scan"] = scan = _bench_scan(system, runner, frames, two_stage)
+    res["kf_cycle_ms"] = kf_cycle_ms = _bench_kf_cycle(system)
 
     # single-stage comparison run (same workload, coarse stage off) —
     # skipped when the budget is nearly gone (it compiles its own scan)
@@ -260,9 +358,11 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
             f.timestamp = f.frame_id / 10.0
         WindowedRunner(s2, window=window, two_stage=False).run(f2)
         s2, f2 = _build_smooth(7, n_frames, async_mode)
+        _wake_tunnel()
         t0 = time.perf_counter()
         WindowedRunner(s2, window=window, two_stage=False).run(f2)
         single_fps = len(s2.tracker.trajectory) / (time.perf_counter() - t0)
+    res["single_stage_fps"] = single_fps
 
     # ---- loop workload ---------------------------------------------------
     loop_extra = None
@@ -272,6 +372,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         loops_warm = lsys.loop_closing.n_loops_closed
         lsys, lframes = _build_loop(7, 400, async_mode)
         lrunner = WindowedRunner(lsys, window=window, two_stage=two_stage)
+        _wake_tunnel()
         t0 = time.perf_counter()
         lrunner.run(lframes)
         lwall = time.perf_counter() - t0
@@ -287,33 +388,24 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
                                 and loops_warm > 0),
             "workload": "outward full orbit, non-covisible revisit",
         }
+    res["loop"] = loop_extra
 
     # ---- mono-VI workload (the north-star configuration) ------------------
     mono_vi = None
     if os.environ.get("BENCH_MONO_VI", "1") == "1" \
             and _budget_left(budget_s) > 100:
         mono_vi = _bench_mono_vi(window=min(window, 16))
+    res["mono_vi"] = mono_vi
 
-    orb_fps, orb_stages = _bench_orb()
-    return {
-        "mono_vi": mono_vi,
-        "orb_fps": orb_fps,
-        "orb_stages": orb_stages,
-        "kf_cycle_ms": kf_cycle_ms,
-        "fps": fps,
-        "fps_median": n_tracked / float(np.median(walls)),
-        "n_runs": len(walls),
-        "single_stage_fps": single_fps,
-        "scan": scan,
-        "loop": loop_extra,
-        "n_tracked": n_tracked,
-        "n_frames": n_frames,
-        "wall_s": wall,
-        "ate_rmse": rmse,
-        "n_keyframes": system.map.n_keyframes,
-        "n_points": system.map.n_points,
-        "device_calls": runner.n_device_calls,
-    }
+    # ---- pixels-in end-to-end lane ----------------------------------------
+    e2e_pixels = None
+    if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
+            and _budget_left(budget_s) > 120:
+        e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
+    res["e2e_pixels"] = e2e_pixels
+
+    res["orb_fps"], res["orb_stages"] = _bench_orb()
+    return res
 
 
 def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
@@ -349,26 +441,28 @@ def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
                 jnp.zeros((), dtype=bool),
             )
 
-        # warm (already compiled — this syncs any queue backlog)
+        # warm (already compiled — this syncs any queue backlog).  NOTE:
+        # jax.block_until_ready does NOT wait on the remote axon tunnel
+        # (measured: returns in 0.02 ms while the actual fetch takes a
+        # ~35 ms round trip) — only a D2H fetch truly synchronizes, and the
+        # tunnel inserts multi-second stalls at random, so the device time
+        # is the BEST of several chained-dispatch rounds.
         carry = fresh_carry()
         item, carry = runner._dispatch(frames, 0, W, lm, lm_ids, carry, scal)
         np.asarray(item.outs)
-        # measure tunnel sync cost alone
-        t0 = time.perf_counter()
-        np.asarray(item.outs)
-        sync_s = time.perf_counter() - t0
-        # chained dispatches, one blocking fetch at the end
-        carry = fresh_carry()
-        t0 = time.perf_counter()
-        last = None
-        for k in range(reps):
-            item, carry = runner._dispatch(
-                frames, (k * W) % max(len(frames) - W, 1), W,
-                lm, lm_ids, carry, scal)
-            last = item
-        np.asarray(last.outs)
-        wall = time.perf_counter() - t0
-        ms_frame = max(wall - sync_s, 1e-9) * 1000.0 / (reps * W)
+        wall = float("inf")
+        for _ in range(3):
+            carry = fresh_carry()
+            t0 = time.perf_counter()
+            last = None
+            for k in range(reps):
+                item, carry = runner._dispatch(
+                    frames, (k * W) % max(len(frames) - W, 1), W,
+                    lm, lm_ids, carry, scal)
+                last = item
+            np.asarray(last.outs)
+            wall = min(wall, time.perf_counter() - t0)
+        ms_frame = wall * 1000.0 / (reps * W)
 
         P = int(lm.position.shape[0])
         Ns = int(t.s.feature_slots)
@@ -492,7 +586,60 @@ def _bench_orb(n_batches: int = 6, batch: int = 8):
         return None, None
 
 
+_EMITTED = False
+
+
+def _emit(res: dict, partial: bool = False):
+    """Print the single JSON line (idempotent)."""
+    global _EMITTED
+    if _EMITTED or "fps" not in res:
+        return
+    _EMITTED = True
+    extra = {
+        "selection": f"best_of_{res.get('n_runs', 1)}",
+        "fps_median": (None if res.get("fps_median") is None
+                       else round(res["fps_median"], 2)),
+        "single_stage_fps": (None if res.get("single_stage_fps") is None
+                             else round(res["single_stage_fps"], 2)),
+        "ate_rmse_m": (None if np.isnan(res.get("ate_rmse", np.nan))
+                       else round(res["ate_rmse"], 5)),
+        "tracked": res.get("n_tracked"),
+        "keyframes": res.get("n_keyframes"),
+        "points": res.get("n_points"),
+        "scan": res.get("scan"),
+        "loop": res.get("loop"),
+        "mono_vi": res.get("mono_vi"),
+        "e2e_pixels": res.get("e2e_pixels"),
+        "orb_fps": res.get("orb_fps"),
+        "orb_stages": res.get("orb_stages"),
+        "kf_cycle_ms": res.get("kf_cycle_ms"),
+    }
+    if partial:
+        extra["partial"] = ("timed out before all lanes completed "
+                            "(tunnel stalls); missing lanes are null")
+    out = {
+        "metric": ("synthetic EuRoC-like tracked FPS (windowed, coarse+fine,"
+                   " 1024 feat, stereo, full back-ends)"),
+        "value": round(res["fps"], 2),
+        "unit": "frames/s",
+        "vs_baseline": round(res["fps"] / 500.0, 4),
+        "extra": extra,
+    }
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    import os
+    import signal
+
+    # a driver-side timeout (SIGTERM) must still yield a JSON line with
+    # whatever lanes completed — the tunnel can stall for minutes at a time
+    def _on_term(signum, frame):
+        _emit(_RES, partial=True)
+        os._exit(0 if _EMITTED else 124)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     # the remote-TPU tunnel can fail transiently (FAILED_PRECONDITION on a
     # blocking fetch); the windowed runner already retries per window, and
     # this outer retry covers failures during compilation/warmup.  Last
@@ -509,31 +656,7 @@ def main():
             import traceback
 
             traceback.print_exc()
-    out = {
-        "metric": ("synthetic EuRoC-like tracked FPS (windowed, coarse+fine,"
-                   " 1024 feat, stereo, full back-ends)"),
-        "value": round(res["fps"], 2),
-        "unit": "frames/s",
-        "vs_baseline": round(res["fps"] / 500.0, 4),
-        "extra": {
-            "selection": f"best_of_{res['n_runs']}",
-            "fps_median": round(res["fps_median"], 2),
-            "single_stage_fps": (None if res["single_stage_fps"] is None
-                                 else round(res["single_stage_fps"], 2)),
-            "ate_rmse_m": (None if np.isnan(res["ate_rmse"])
-                           else round(res["ate_rmse"], 5)),
-            "tracked": res["n_tracked"],
-            "keyframes": res["n_keyframes"],
-            "points": res["n_points"],
-            "scan": res.get("scan"),
-            "loop": res.get("loop"),
-            "mono_vi": res.get("mono_vi"),
-            "orb_fps": res.get("orb_fps"),
-            "orb_stages": res.get("orb_stages"),
-            "kf_cycle_ms": res.get("kf_cycle_ms"),
-        },
-    }
-    print(json.dumps(out))
+    _emit(res)
 
 
 if __name__ == "__main__":

@@ -24,11 +24,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-# byte -> set-bit count, for packed-descriptor Hamming distances
-_POPCOUNT_LUT = np.unpackbits(
-    np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.uint8)
-
 MAX_OBS = 24  # per-point observation slots (reference points rarely exceed
               # ~15 observers after keyframe simplification)
 
@@ -115,6 +110,12 @@ class SlamMap:
         self.pt_obs_kf = np.full((P, MAX_OBS), -1, dtype=np.int32)
         self.pt_obs_feat = np.full((P, MAX_OBS), -1, dtype=np.int32)
         self.pt_n_obs = np.zeros(P, dtype=np.int32)
+        # observation-set change flag: the distinctive-descriptor / normal
+        # recompute (update_points_bulk) only needs to run for points whose
+        # observations changed since the last update — the reference calls
+        # UpdateDistinctiveDescriptors/UpdateNormalAndDepth on modification
+        # (MapPoint.cpp:60-81,120-166), not per back-end cycle
+        self.pt_dirty = np.zeros(P, dtype=bool)
 
         self._next_kf = 0
         self._next_pt = 0
@@ -188,6 +189,7 @@ class SlamMap:
         self.pt_obs_kf[p] = -1
         self.pt_obs_feat[p] = -1
         self.pt_n_obs[p] = 0
+        self.pt_dirty[p] = True
         return p
 
     # ------------------------------------------------------------------
@@ -211,6 +213,7 @@ class SlamMap:
         self.pt_obs_feat[pt, s] = feat
         self.pt_n_obs[pt] += 1
         self.kf_obs[kf, feat] = pt
+        self.pt_dirty[pt] = True
         return True
 
     def remove_observation(self, kf: int, feat: int):
@@ -218,6 +221,7 @@ class SlamMap:
         if pt < 0:
             return
         self.kf_obs[kf, feat] = -1
+        self.pt_dirty[pt] = True
         sel = np.nonzero(
             (self.pt_obs_kf[pt] == kf) & (self.pt_obs_feat[pt] == feat)
         )[0]
@@ -248,6 +252,7 @@ class SlamMap:
         self.pt_obs_kf[p_ok, s_ok] = kf
         self.pt_obs_feat[p_ok, s_ok] = f_ok
         self.pt_n_obs[p_ok] = s_ok + 1
+        self.pt_dirty[p_ok] = True
         return ok
 
     def allocate_points_bulk(self, positions, descs, ref_kf: int,
@@ -280,12 +285,20 @@ class SlamMap:
         self.pt_obs_kf[ids] = -1
         self.pt_obs_feat[ids] = -1
         self.pt_n_obs[ids] = 0
+        self.pt_dirty[ids] = True
         return ids
 
-    def update_points_bulk(self, pts: np.ndarray):
+    def update_points_bulk(self, pts: np.ndarray, only_dirty: bool = False):
         """Vectorized distinctive-descriptor + viewing-normal update for a
-        batch of points (MapPoint.cpp:60-81,120-166 semantics)."""
+        batch of points (MapPoint.cpp:60-81,120-166 semantics).
+
+        With ``only_dirty=True`` the batch is narrowed to points whose
+        observation set actually changed since their last update — the
+        per-KF-cycle caller passes every point the keyframe sees, but most
+        were updated in earlier cycles and are untouched since."""
         pts = np.asarray(pts)
+        if only_dirty and len(pts):
+            pts = pts[self.pt_dirty[pts]]
         if len(pts) == 0:
             return
         okf = self.pt_obs_kf[pts]            # (n, MAX_OBS)
@@ -304,12 +317,13 @@ class SlamMap:
         k = np.maximum(okf, 0)
         f = np.maximum(ofe, 0)
         # ---- distinctive descriptor: min median pairwise Hamming ----
-        # pairwise popcount on PACKED bytes via a 256-entry LUT: (n, M, M,
-        # 32) byte xors instead of unpacking every descriptor to 256 f32
-        # lanes (~5x less host time for M=24 observation slots)
-        packed = self.kf_feat_desc[k, f]             # (n, M, 32) uint8
-        x = packed[:, :, None, :] ^ packed[:, None, :, :]
-        dist = _POPCOUNT_LUT[x].sum(axis=-1, dtype=np.int32)   # (n, M, M)
+        # pairwise popcount on PACKED words: view the 32 descriptor bytes as
+        # 4 uint64 lanes and use the hardware popcount (np.bitwise_count) —
+        # (n, M, M, 4) word ops instead of a (n, M, M, 32) byte-LUT gather
+        packed = np.ascontiguousarray(self.kf_feat_desc[k, f])  # (n, M, 32)
+        p64 = packed.view(np.uint64)                 # (n, M, 4)
+        x = p64[:, :, None, :] ^ p64[:, None, :, :]
+        dist = np.bitwise_count(x).sum(axis=-1, dtype=np.int32)  # (n, M, M)
         pair_ok = valid[:, :, None] & valid[:, None, :]
         dist = np.where(pair_ok, dist, 9999)
         dist_sorted = np.sort(dist, axis=2)
@@ -351,6 +365,7 @@ class SlamMap:
         self.pt_ref_level[pts[has_ref]] = self.kf_feat_octave[
             np.maximum(ref[has_ref], 0), f[rows[has_ref], ref_col[has_ref]]
         ]
+        self.pt_dirty[pts] = False
 
     def point_observations(self, pt: int):
         """(kf_ids, feat_slots) arrays for a point's live observations."""
@@ -372,6 +387,7 @@ class SlamMap:
         self.pt_obs_feat[pt] = -1
         self.pt_n_obs[pt] = 0
         self.pt_valid[pt] = False
+        self.pt_dirty[pt] = False
         self._free_pts.append(pt)
         self.state += 1
 

@@ -243,7 +243,8 @@ class LocalMapper:
             nf = len(fuse[0])
             self.map_searcher.commit(kf, fetched[:nf], fuse[1])
             del fetched[:nf]
-        self.map.update_points_bulk(self.map.keyframe_points(kf))
+        self.map.update_points_bulk(self.map.keyframe_points(kf),
+                                    only_dirty=True)
         if ba is not None:
             self.lba.commit(kf, fetched, ba[1], check_state=False)
         if self.imu_solver is not None:

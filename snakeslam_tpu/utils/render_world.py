@@ -18,8 +18,9 @@ PATCH = 13          # default billboard side (odd)
 
 
 def _patches(n_points: int, seed: int, patch: int = PATCH) -> np.ndarray:
-    """Distinctive billboard textures: blocky ~4px tiles (FAST corners at
-    every tile junction) with CONTINUOUS intensities.  Quantized levels
+    """Distinctive billboard textures: blocky tiles of ceil(patch/cells)
+    px (~3 px at the default patch=13; FAST corners at every tile
+    junction) with CONTINUOUS intensities.  Quantized levels
     make billboards mutually self-similar, which starves ratio-test knn
     matching (mono init, BoW) of unambiguous correspondences; continuous
     tiles keep the corner geometry while making every billboard unique."""
