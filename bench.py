@@ -573,14 +573,10 @@ def _bench_orb(n_batches: int = 6, batch: int = 8):
         f2 = jax.jit(lambda s: jax.vmap(
             lambda x: O.select_keypoints(x, 400))(s))
         stages["select_ms"], sel = t_stage(f2, score)
-        f3 = jax.jit(lambda b, uv: jax.vmap(O.orientations)(b, uv))
-        stages["orientation_ms"], ang = t_stage(f3, b0, sel[0])
-        f4 = jax.jit(O.box_blur_batch)
-        stages["blur_ms"], blur = t_stage(f4, b0)
-        f5 = jax.jit(lambda bl, uv, a: jax.vmap(O.brief_descriptors)(
-            bl, uv, a))
-        stages["brief_ms"], _ = t_stage(f5, blur, sel[0], ang)
-        stages["note"] = "ms per 8-frame batch at level 0, 400 kp/frame"
+        f3 = jax.jit(lambda b, uv: jax.vmap(O.orient_and_brief)(b, uv))
+        stages["orient_brief_ms"], _ = t_stage(f3, b0, sel[0])
+        stages["note"] = ("ms per 8-frame batch at level 0, 400 kp/frame; "
+                          "orient+blur+BRIEF fused into one patch pull")
         return fps, stages
     except Exception:
         return None, None

@@ -19,6 +19,7 @@ from snakeslam_tpu.utils.synthetic import SyntheticWorld, orbit_trajectory
 def build(seed, count, async_mode=None):
     if async_mode is None:
         async_mode = os.environ.get("BENCH_ASYNC", "0") == "1"
+    workload = os.environ.get("BENCH_WORKLOAD", "smooth")
     settings = Settings()
     settings.input_type = InputType.Stereo
     settings.enable_imu = False
@@ -29,6 +30,19 @@ def build(seed, count, async_mode=None):
     settings.lba_point_slots = 8192
     settings.lba_obs_slots = 8
     settings.th_depth = 25.0
+    if workload == "loop":
+        from snakeslam_tpu.utils.synthetic import loop_trajectory
+
+        settings.pin_local_map_bucket = True
+        settings.th_map = 400
+        world = SyntheticWorld(n_points=60000, seed=seed)
+        apply_world_to_settings(world, settings)
+        system = SlamSystem(settings)
+        frames = list(synthetic_frames(
+            world, loop_trajectory(count, radius=7.0, fps=200.0),
+            settings, noise_px=0.3,
+        ))
+        return system, frames
     world = SyntheticWorld(n_points=6000, seed=seed)
     apply_world_to_settings(world, settings)
     system = SlamSystem(settings)
@@ -130,6 +144,25 @@ def main():
 
     lm.flush_deferred = timed_fd
 
+    # back-end cycle internals (what _dispatch/_commit_backend decompose to)
+    for nm, obj, meth in [
+        ("bk_dispatch_deferred", lm, "dispatch_deferred"),
+        ("bk_commit_deferred", lm, "commit_deferred"),
+    ] + [(f"bk_{type(b).__name__}.add", b, "add") for b in lm.backends]:
+        times[nm] = 0.0
+        counts[nm] = 0
+
+        def _mk3(nm, orig):
+            def f(*a, **kw):
+                t = time.perf_counter()
+                r = orig(*a, **kw)
+                times[nm] += time.perf_counter() - t
+                counts[nm] += 1
+                return r
+            return f
+
+        setattr(obj, meth, _mk3(nm, getattr(obj, meth)))
+
     def timed_consume(*a, **kw):
         t = time.perf_counter()
         r = orig_consume(*a, **kw)
@@ -150,19 +183,31 @@ def main():
 
     WMOD._InFlight.fetch = timed_f
 
+    cprof = os.environ.get("PROFILE_CPROF", "0") == "1"
     t0 = time.perf_counter()
-    runner.run(frames)
-    wall = time.perf_counter() - t0
+    if cprof:
+        import cProfile
+        import pstats
+
+        pr = cProfile.Profile()
+        pr.enable()
+        runner.run(frames)
+        pr.disable()
+        wall = time.perf_counter() - t0
+        pstats.Stats(pr).sort_stats("cumulative").print_stats(30)
+    else:
+        runner.run(frames)
+        wall = time.perf_counter() - t0
     n_tracked = len(system.tracker.trajectory)
     print(f"timed run: {wall:.2f}s  tracked={n_tracked} "
           f"fps={n_tracked/wall:.1f}", flush=True)
     print(f"  dispatch: {times['dispatch']:.2f}s ({counts['dispatch']}x)")
     print(f"  fetch:    {times['fetch']:.2f}s ({counts['fetch']}x)")
     print(f"  consume:  {times['consume']:.2f}s")
-    for name in ("_drain", "_local_map", "_initial_dec_state", "_idle",
-                 "flush_deferred", "_dispatch_backend_cycles",
-                 "_commit_backend", "process_frame"):
-        print(f"  {name}: {times[name]:.2f}s ({counts[name]}x)")
+    for name in sorted(times):
+        if name in ("dispatch", "fetch", "consume", "other"):
+            continue
+        print(f"  {name}: {times[name]:.2f}s ({counts.get(name, 0)}x)")
     print(f"  unattributed: "
           f"{wall - times['dispatch'] - times['fetch'] - times['consume'] - times['_drain'] - times['_local_map'] - times['_initial_dec_state']:.2f}s")
     print(f"  device_calls={runner.n_device_calls} "

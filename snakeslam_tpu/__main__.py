@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax profiler trace of the run into "
                          "<outDir>/trace (view with TensorBoard/xprof)")
+    ap.add_argument("--overlayEvery", type=int, default=0,
+                    help="export a feature-overlay PNG every N tracked "
+                         "frames into <outDir>/frames (the headless "
+                         "viewer-frame stream; 0 = off)")
     args = ap.parse_args(argv)
 
     from snakeslam_tpu.system.settings import Settings
@@ -46,6 +50,13 @@ def main(argv=None):
 
     inp = Input(settings, dataset_root=settings.dataset.dataset_dir)
     system = SlamSystem(settings)
+    if args.overlayEvery > 0:
+        from snakeslam_tpu.viewer.export import FrameOverlayWriter
+
+        writer = FrameOverlayWriter(
+            Path(settings.eval_dir) / "frames", every_n=args.overlayEvery,
+            size=(settings.width, settings.height))
+        system.frame_listeners.append(writer.on_frame)
     if args.profile:
         # device+host trace (the reference's per-module PerformanceStats
         # tables cover wall time; this exposes the XLA op timeline)

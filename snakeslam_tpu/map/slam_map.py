@@ -242,8 +242,13 @@ class SlamMap:
         must be free.  Returns a mask of successfully linked entries."""
         feats = np.asarray(feats)
         pts = np.asarray(pts)
+        if not self.kf_valid[kf]:
+            # one-cycle-stale back-end commits (pipelined flush) may target
+            # a keyframe that simplification culled after their dispatch —
+            # linking observations to a dead keyframe corrupts covisibility
+            return np.zeros(len(feats), dtype=bool)
         slots = self.pt_n_obs[pts]
-        ok = slots < MAX_OBS
+        ok = (slots < MAX_OBS) & self.pt_valid[pts]
         # observation slots are kept dense, so slot == n_obs
         f_ok = feats[ok]
         p_ok = pts[ok]
@@ -459,6 +464,8 @@ class SlamMap:
         if len(obs_kfs) == 0:
             return np.array([], dtype=np.int32), np.array([], dtype=np.int32)
         counts = np.bincount(obs_kfs, minlength=self.max_keyframes)
+        counts *= self.kf_valid  # stale one-cycle-lag commits can reference
+        #                          a just-culled keyframe; never surface it
         ids = np.nonzero(counts >= min_weight)[0]
         if len(ids) == 0:
             # fall back to the single best neighbor (reference keeps the max

@@ -157,14 +157,42 @@ class LocalMapper:
         return kf
 
     def flush_deferred(self) -> int:
-        """Run queued back-end work (see insert_keyframe(defer=True))."""
+        """Run queued back-end work (see insert_keyframe(defer=True)),
+        software-pipelined: cycle k+1's device work is dispatched BEFORE
+        cycle k's blocking commit, so every commit's fetch overlaps the
+        next cycle's device execution.  Cycle k+1 then triangulates/solves
+        against a one-cycle-stale snapshot — exactly the staleness the
+        reference's async back-end threads produce (README.md:61-65), and
+        commit_deferred's per-element guards were built for it.  If cycle
+        k's commit rebases the whole map (loop correction), the in-flight
+        k+1 cycle was computed in the old basis: it is dropped and re-run
+        (rare — once per closed loop)."""
         n = 0
+        prev = None          # in-flight token
         while self._deferred:
             kf, frame = self._deferred.pop(0)
-            if self.map.kf_valid[kf]:
-                self.process_deferred(kf, frame)
+            if not self.map.kf_valid[kf]:
+                n += 1
+                continue
+            tok = self.dispatch_deferred(kf)
+            if prev is not None:
+                self.commit_deferred_checked(prev)
+            prev = tok
             n += 1
+        if prev is not None:
+            self.commit_deferred_checked(prev)
         return n
+
+    def commit_deferred_checked(self, tok: dict):
+        """Commit a pipelined cycle, re-running it from scratch if a
+        whole-map rebase (loop correction / VI-init transform) landed
+        after its dispatch — its device results are in the old basis."""
+        if getattr(self.map, "n_transforms", 0) != tok["n_transforms"]:
+            kf = tok["kf"]
+            if self.map.kf_valid[kf]:
+                self.process_deferred(kf, None)
+            return
+        self.commit_deferred(tok)
 
     # ------------------------------------------------------------------
     # the fan-out hub (LocalMapping.cpp:37-117)
@@ -221,7 +249,8 @@ class LocalMapper:
             arrays += ba[0]
         for a in arrays:
             a.copy_to_host_async()
-        return dict(kf=kf, tri=tri, fuse=fuse, ba=ba, arrays=arrays)
+        return dict(kf=kf, tri=tri, fuse=fuse, ba=ba, arrays=arrays,
+                    n_transforms=getattr(self.map, "n_transforms", 0))
 
     def deferred_ready(self, token: dict) -> bool:
         """True when every device array of a dispatched cycle has landed

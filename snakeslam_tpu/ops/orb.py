@@ -110,7 +110,20 @@ def select_keypoints(score: jax.Array, n_keypoints: int, cell: int = 32,
     blocks = s.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3).reshape(
         Hc * Wc, cell * cell
     )
-    vals, idx = jax.lax.top_k(blocks, per_cell)     # (Hc*Wc, per_cell)
+    # per-cell top-k as `per_cell` argmax+suppress rounds: NMS leaves cells
+    # sparse, and k max-reductions lower to cheap VPU passes where a
+    # batched lax.top_k pays a per-row sort (measured 9.7 -> ~1 ms per
+    # 8-frame batch at 480x752)
+    vals_l, idx_l = [], []
+    b = blocks
+    col = jnp.arange(blocks.shape[1])[None, :]
+    for _ in range(per_cell):
+        i = jnp.argmax(b, axis=1)
+        vals_l.append(jnp.take_along_axis(b, i[:, None], axis=1)[:, 0])
+        idx_l.append(i)
+        b = jnp.where(col == i[:, None], -jnp.inf, b)
+    vals = jnp.stack(vals_l, axis=1)                # (Hc*Wc, per_cell)
+    idx = jnp.stack(idx_l, axis=1)
     # convert block-local indices to image coords
     cy = (jnp.arange(Hc * Wc) // Wc) * cell
     cx = (jnp.arange(Hc * Wc) % Wc) * cell
@@ -183,6 +196,41 @@ def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
 BRIEF_PATTERN = _make_brief_pattern()
 
 
+_INTERP_CACHE: dict = {}
+
+
+def _interp_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, half-pixel centers
+    (the sampling convention of jax.image.resize 'linear')."""
+    key = (n_out, n_in)
+    m = _INTERP_CACHE.get(key)
+    if m is None:
+        x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        x0 = np.clip(np.floor(x).astype(np.int64), 0, n_in - 1)
+        x1 = np.clip(x0 + 1, 0, n_in - 1)
+        w = np.clip(x - x0, 0.0, 1.0)
+        m = np.zeros((n_out, n_in), dtype=np.float32)
+        m[np.arange(n_out), x0] += 1.0 - w
+        m[np.arange(n_out), x1] += w
+        _INTERP_CACHE[key] = m
+    return m
+
+
+def _resize_matmul(imgs: jax.Array, h: int, w: int) -> jax.Array:
+    """(B, H, W) -> (B, h, w) bilinear downscale as two MXU matmuls.
+
+    jax.image.resize lowers to gathers on TPU (~4 ms per 8x480x752 level);
+    the same interpolation as dense banded matrices rides the systolic
+    array (~0.3 GFLOP per level batch — noise)."""
+    B, H, W = imgs.shape
+    Ah = jnp.asarray(_interp_matrix(h, H))
+    Aw = jnp.asarray(_interp_matrix(w, W))
+    out = jnp.einsum("hH,bHW->bhW", Ah, imgs,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bhW,wW->bhw", out, Aw,
+                      preferred_element_type=jnp.float32)
+
+
 def box_blur_batch(imgs: jax.Array, k: int = 7) -> jax.Array:
     """(B, H, W) k x k box filter (separable) — the BRIEF pre-smoothing.
 
@@ -253,13 +301,66 @@ def brief_descriptors(img_blur: jax.Array, uv: jax.Array,
                                       (0, max(0, _BRIEF_PATCH - W))))
     patches = _extract_patches(img_blur, uv, _BRIEF_PATCH)
     patches = patches.reshape(uv.shape[0], _BRIEF_PATCH * _BRIEF_PATCH)
+    return _brief_from_patches(patches, angle_deg)
+
+
+def _brief_from_patches(patches: jax.Array, angle_deg: jax.Array):
+    """(N, 1600) flattened blurred 40x40 patches + angles -> (N, 256) bits."""
     bin_ = jnp.round(angle_deg * (_BRIEF_BINS / 360.0)).astype(jnp.int32)
     bin_ = jnp.mod(bin_, _BRIEF_BINS)
-    samples = jnp.zeros((uv.shape[0], 2 * DESC_BITS), dtype=img_blur.dtype)
+    samples = jnp.zeros((patches.shape[0], 2 * DESC_BITS),
+                        dtype=patches.dtype)
     for b in range(_BRIEF_BINS):
         take_b = patches[:, _BRIEF_OFFSETS[b]]       # static indices
         samples = jnp.where((bin_ == b)[:, None], take_b, samples)
     return (samples[:, :DESC_BITS] < samples[:, DESC_BITS:]).astype(jnp.int8)
+
+
+# fused patch pipeline: one 46x46 pull per keypoint feeds orientation,
+# BRIEF pre-smoothing, and the rotated BRIEF samples
+_BRIEF_SRC = _BRIEF_PATCH + 6           # 7x7 box-blur halo (r=3 each side)
+_CENTER_OFF = (_BRIEF_SRC - _PATCH) // 2   # 31x31 orientation disc offset
+
+
+def _box_blur_patches(p: jax.Array, k: int = 7) -> jax.Array:
+    """(N, S, S) -> (N, S-k+1, S-k+1) valid-region box blur (separable
+    shift-and-add; every output uses real image pixels — no pad ring)."""
+    s = p.shape[1]
+    o = s - k + 1
+    scale = p.dtype.type(1.0 / k)
+    out = sum(p[:, i:i + o, :] for i in range(k)) * scale
+    out = sum(out[:, :, i:i + o] for i in range(k)) * scale
+    return out
+
+
+def orient_and_brief(img: jax.Array, uv: jax.Array):
+    """Fused orientation + rotated BRIEF from ONE patch pull per keypoint.
+
+    A 46x46 patch from the UNBLURRED level image supplies (a) the 31x31
+    intensity-centroid disc (IC_Angle) from its center, and (b) the 7x7
+    box-blurred 40x40 window the BRIEF samples read — so the whole-image
+    blur pass and the second per-keypoint gather disappear (they were two
+    of the extractor's top stage costs).  Blur semantics inside the patch
+    match the whole-image blur exactly away from image borders; at borders
+    the clamped patch recenters (the same clamping policy the separate
+    BRIEF path already had)."""
+    H, W = img.shape
+    if H < _BRIEF_SRC or W < _BRIEF_SRC:
+        img = jnp.pad(img, ((0, max(0, _BRIEF_SRC - H)),
+                            (0, max(0, _BRIEF_SRC - W))))
+    src = _extract_patches(img, uv, _BRIEF_SRC)          # (N, 46, 46)
+    center = src[:, _CENTER_OFF:_CENTER_OFF + _PATCH,
+                 _CENTER_OFF:_CENTER_OFF + _PATCH]       # (N, 31, 31)
+    wx = jnp.asarray(_disc_x * _DISC_MASK)
+    wy = jnp.asarray(_disc_y * _DISC_MASK)
+    m10 = jnp.einsum("nij,ij->n", center, wx)
+    m01 = jnp.einsum("nij,ij->n", center, wy)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    ang = jnp.where(ang < 0, ang + 360.0, ang)
+    blur = _box_blur_patches(src)                        # (N, 40, 40)
+    bits = _brief_from_patches(
+        blur.reshape(uv.shape[0], _BRIEF_PATCH * _BRIEF_PATCH), ang)
+    return ang, bits
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +441,7 @@ def extract_orb_batch(
         if lvl > 0:
             h = int(round(H / scale))
             w = int(round(W / scale))
-            imgs_l = jax.image.resize(images, (B, h, w), method="linear")
+            imgs_l = _resize_matmul(images, h, w)
         if use_pallas:
             from snakeslam_tpu.ops.orb_pallas import fast_score_pallas_batch
 
@@ -351,9 +452,7 @@ def extract_orb_batch(
         uv, resp, valid = jax.vmap(
             lambda s: select_keypoints(s, budgets[lvl])
         )(score)
-        ang = jax.vmap(orientations)(imgs_l, uv)
-        blur = box_blur_batch(imgs_l)
-        bits = jax.vmap(brief_descriptors)(blur, uv, ang)
+        ang, bits = jax.vmap(orient_and_brief)(imgs_l, uv)
         all_feats.append(
             (uv * scale, resp,
              jnp.full(uv.shape[:2], lvl, dtype=jnp.int32), ang, bits, valid)

@@ -137,3 +137,79 @@ def fast_score_pallas_batch(imgs: jax.Array, threshold: float = 20.0,
     score = score.reshape(B, S, Wp)[:, :H, :W]
     corner = corner.reshape(B, S, Wp)[:, :H, :W]
     return score, corner
+
+
+# ---------------------------------------------------------------------------
+# per-keypoint patch gather
+# ---------------------------------------------------------------------------
+
+PATCH_GROUP = 8     # patches per grid program (DMAs kept in flight together)
+
+
+def _patch_kernel(sy: int, sx: int, G: int, yt_ref, xt_ref, img_hbm,
+                  out_ref, sems):
+    """Pull G blocks of (sy, sx) from HBM with G async DMAs in flight:
+    vmapped dynamic_slice lowers to a gather (~9 ms for 3200 46x46
+    patches from an 8x480x752 batch); block DMAs issued back-to-back
+    overlap each other's latency instead (~6 ms for 3200 56x256 blocks,
+    per-DMA-issue bound).  Offsets arrive in TILE units and are expanded
+    in-kernel so Mosaic can prove (8, 128) divisibility -- HBM memref
+    slices must be tile-aligned."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dmas = []
+    for g in range(G):
+        i = t * G + g
+        y = yt_ref[b, i] * 8
+        x = xt_ref[b, i] * 128
+        d = pltpu.make_async_copy(
+            img_hbm.at[b, pl.ds(y, sy), pl.ds(x, sx)],
+            out_ref.at[0, g], sems.at[g])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("size_y", "size_x",
+                                             "interpret"))
+def patch_gather_pallas(imgs: jax.Array, y_tile: jax.Array,
+                        x_tile: jax.Array, size_y: int, size_x: int = 256,
+                        interpret: bool | None = None):
+    """(B, H, W) images + (B, N) int32 TILE corners -> (B, N, size_y,
+    size_x) float32 blocks.
+
+    TPU DMA constraints shape the API: offsets are in tile units (rows of
+    8, lanes of 128) and sizes must be multiples of (8, 128).  To cover an
+    arbitrary (46, 46) ORB patch at (y, x): y_tile = y // 8, x_tile =
+    x // 128, size (56, 256), then slice [y % 8 :, x % 128 :] from the
+    block.  Callers must keep y_tile*8 + size_y <= H etc."""
+    assert size_y % 8 == 0 and size_x % 128 == 0, "tile-aligned sizes only"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W = imgs.shape
+    N = y_tile.shape[1]
+    G = PATCH_GROUP
+    T = -(-N // G)
+    pad = T * G - N
+    if pad:
+        y_tile = jnp.pad(y_tile, ((0, 0), (0, pad)))
+        x_tile = jnp.pad(x_tile, ((0, 0), (0, pad)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, G, size_y, size_x),
+                               lambda b, t, yt_ref, xt_ref: (b, t, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((G,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_patch_kernel, size_y, size_x, G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T * G, size_y, size_x),
+                                       jnp.float32),
+        interpret=interpret,
+    )(y_tile.astype(jnp.int32), x_tile.astype(jnp.int32),
+      imgs.astype(jnp.float32))
+    return out[:, :N]

@@ -118,6 +118,7 @@ class SlamSystem:
                                relocalizer=self.relocalizer)
         self.stats = PerformanceStats()
         self.n_frames = 0
+        self.frame_listeners: list = []   # per-frame viewer stream hooks
 
     # ------------------------------------------------------------------
 
@@ -126,6 +127,10 @@ class SlamSystem:
             with self.map.lock:
                 st = self.tracker.process_frame(frame)
         self.n_frames += 1
+        for cb in self.frame_listeners:
+            # viewer-frame stream (the reference pushes ViewerFrames from
+            # the tracking thread, Tracking.cpp:110-118)
+            cb(frame)
         return st
 
     def run(self, frames):

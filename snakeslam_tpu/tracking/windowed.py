@@ -146,10 +146,16 @@ class WindowedRunner:
             kf, frame = lm._deferred.pop(0)
             if not t.map.kf_valid[kf]:
                 continue
-            # the previous cycle's commit must land before this dispatch
-            # reads the map
-            self._commit_backend()
+            # software-pipeline dense-keyframe windows: dispatch this
+            # cycle's device work BEFORE the previous cycle's blocking
+            # commit, so the commit's fetch overlaps this cycle's device
+            # execution (one-cycle-stale snapshots, the reference's async
+            # back-end staleness; rebases are caught by the token's
+            # n_transforms guard, local_mapping.commit_deferred_checked)
+            prev, self._backend_token = self._backend_token, None
             self._backend_token = lm.dispatch_deferred(kf)
+            if prev is not None:
+                lm.commit_deferred_checked(prev)
             if self.imu_solver is not None:
                 # visual-inertial: the commit can move the whole map (VI
                 # init stages apply gravity/scale transforms) — it must
@@ -166,7 +172,7 @@ class WindowedRunner:
         if only_if_ready and not lm.deferred_ready(tok):
             return False
         self._backend_token = None
-        lm.commit_deferred(tok)
+        lm.commit_deferred_checked(tok)
         return True
 
     def _drain(self):

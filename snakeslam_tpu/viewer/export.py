@@ -79,3 +79,80 @@ def export_viewer_snapshot(smap: SlamMap, out_dir, tag: str = "map"):
     )
     write_ply(snap, out_dir / f"{tag}.ply")
     return snap
+
+
+@dataclass
+class ViewerFrameSnapshot:
+    """ViewerFrame analog (ViewerInterface.cpp:15-72): per-frame pose +
+    feature overlay, decoupled from the pipeline."""
+
+    frame_id: int
+    timestamp: float
+    uv: np.ndarray            # (N, 2) keypoints
+    matched: np.ndarray       # (N,) bool — has a map-point match
+    pose_cw: np.ndarray | None
+    gt_pose_cw: np.ndarray | None
+    image: np.ndarray | None  # (H, W) grayscale, optional
+
+
+def snapshot_frame(frame, image: np.ndarray | None = None
+                   ) -> ViewerFrameSnapshot:
+    """Build the per-frame viewer snapshot from a tracked FrameData."""
+    matched = (frame.matches >= 0 if frame.matches is not None
+               else np.zeros(frame.n, dtype=bool))
+    return ViewerFrameSnapshot(
+        frame_id=int(frame.frame_id), timestamp=float(frame.timestamp),
+        uv=np.asarray(frame.uv, dtype=np.float64),
+        matched=np.asarray(matched, dtype=bool),
+        pose_cw=None if frame.pose_cw is None else np.asarray(frame.pose_cw),
+        gt_pose_cw=getattr(frame, "gt_pose_cw", None),
+        image=image,
+    )
+
+
+def write_frame_overlay(snap: ViewerFrameSnapshot, path,
+                        size: tuple | None = None, radius: int = 3):
+    """Render the feature-overlay PNG the reference's viewer draws live
+    (ViewerFrame::get_image_rgb, ViewerInterface.cpp:15-72): the grayscale
+    frame (or a black canvas at ``size``) with map-point matches in green
+    and unmatched detections in red."""
+    from PIL import Image, ImageDraw
+
+    if snap.image is not None:
+        base = np.clip(snap.image, 0, 255).astype(np.uint8)
+        img = Image.fromarray(base, mode="L").convert("RGB")
+    else:
+        if size is None:
+            w = int(snap.uv[:, 0].max()) + 16 if len(snap.uv) else 64
+            h = int(snap.uv[:, 1].max()) + 16 if len(snap.uv) else 48
+            size = (w, h)
+        img = Image.new("RGB", size, (0, 0, 0))
+    d = ImageDraw.Draw(img)
+    for (u, v), m in zip(snap.uv, snap.matched):
+        color = (0, 220, 60) if m else (220, 50, 50)
+        d.ellipse([u - radius, v - radius, u + radius, v + radius],
+                  outline=color)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    img.save(path)
+    return path
+
+
+class FrameOverlayWriter:
+    """Export a feature-overlay PNG every N tracked frames — the headless
+    stand-in for the reference's live viewer frame stream
+    (Tracking.cpp:110-118 pushes ViewerFrames from the tracking thread)."""
+
+    def __init__(self, out_dir, every_n: int = 10,
+                 size: tuple | None = None):
+        self.out_dir = Path(out_dir)
+        self.every_n = max(1, int(every_n))
+        self.size = size
+
+    def on_frame(self, frame, image: np.ndarray | None = None):
+        if int(frame.frame_id) % self.every_n:
+            return None
+        snap = snapshot_frame(frame, image)
+        return write_frame_overlay(
+            snap, self.out_dir / f"frame_{int(frame.frame_id):06d}.png",
+            size=self.size)

@@ -94,3 +94,19 @@ def test_orientation_consistency(rng):
     d = np.abs(((a1 - a2 + 180.0) % 360.0) - 180.0)
     # angles should differ by ~180 deg for most matches
     assert np.median(np.abs(d - 180.0)) < 25.0 or np.median(d) > 150.0
+
+
+def test_patch_gather_pallas_matches_slicing(rng):
+    from snakeslam_tpu.ops.orb_pallas import patch_gather_pallas
+
+    img = rng.uniform(0, 255, (2, 104, 384)).astype(np.float32)
+    yt = rng.integers(0, (104 - 48) // 8, (2, 13)).astype(np.int32)
+    xt = rng.integers(0, (384 - 128) // 128 + 1, (2, 13)).astype(np.int32)
+    out = np.asarray(patch_gather_pallas(
+        jnp.asarray(img), jnp.asarray(yt), jnp.asarray(xt), 48, 128))
+    ref = np.stack([
+        [img[b, yt[b, i] * 8:yt[b, i] * 8 + 48,
+             xt[b, i] * 128:xt[b, i] * 128 + 128]
+         for i in range(13)] for b in range(2)
+    ])
+    assert np.array_equal(out, ref)

@@ -51,3 +51,28 @@ def test_associate():
     ia, ib = associate(ta, tb, max_dt=0.05)
     assert list(ia) == [0, 3]
     assert list(ib) == [0, 2]
+
+
+def test_frame_overlay_export(tmp_path):
+    """ViewerFrame overlay PNG export (the headless viewer-frame stream,
+    ViewerInterface.cpp:15-72)."""
+    from snakeslam_tpu.map.slam_map import FrameData
+    from snakeslam_tpu.viewer.export import FrameOverlayWriter
+
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(10, 100, (40, 2))
+    frame = FrameData(
+        frame_id=20, timestamp=1.0, uv=uv,
+        octave=np.zeros(40, dtype=np.int32),
+        angle=np.zeros(40, dtype=np.float32),
+        descriptors=rng.integers(0, 256, (40, 32), dtype=np.uint8),
+        right=np.full(40, -1.0), depth=np.full(40, -1.0),
+    )
+    frame.matches = np.where(np.arange(40) % 2 == 0, 5, -1)
+    w = FrameOverlayWriter(tmp_path, every_n=10, size=(128, 128))
+    p = w.on_frame(frame)
+    assert p is not None and p.exists() and p.stat().st_size > 0
+    frame.frame_id = 21
+    assert w.on_frame(frame) is None  # off-cadence frames are skipped
+    img = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(p))
+    assert (img[..., 1] > 150).any() and (img[..., 0] > 150).any()
