@@ -43,10 +43,15 @@ Uses the windowed tracking runner (models/window_step.py): steady-state
 tracking is a device-side scan over frame batches, so throughput is not
 bound by per-frame host round trips.
 
+Lane order is priority order (the north-star mono-VI lane runs right
+after the smooth headline, BEFORE the loop/orb extras): if the wall-clock
+budget runs dry, the lanes that answer BASELINE.json's targets are the
+ones already recorded, and the SIGTERM handler emits whatever finished.
+
 Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 64),
 BENCH_TWO_STAGE (default 1), BENCH_ASYNC (default 0), BENCH_LOOP (default
 1), BENCH_MONO_VI (default 1), BENCH_E2E_PIXELS (default 1),
-BENCH_BUDGET_S (default 480).
+BENCH_BUDGET_S (default 1200).
 """
 
 from __future__ import annotations
@@ -93,7 +98,12 @@ def _base_settings():
 
 
 def _build_smooth(seed, count, async_mode):
-    """Gentle inward arc — the deterministic-eval analog (sparse KFs)."""
+    """Gentle inward arc — the deterministic-eval analog (sparse KFs).
+
+    Snapshot buckets are PINNED at 2048 (the bucket this workload grows
+    into anyway, BENCH_r04 snapshot_slots): dynamic bucket growth
+    recompiles the scan + fuse programs mid-timed-run — measured ~0.8 s of
+    the r04 headline wall was XLA compiles, not the tracker."""
     from snakeslam_tpu.frontend.synthetic_source import (
         apply_world_to_settings,
         synthetic_frames,
@@ -103,6 +113,8 @@ def _build_smooth(seed, count, async_mode):
 
     settings = _base_settings()
     settings.async_mode = async_mode
+    settings.local_map_slots = 2048
+    settings.pin_local_map_bucket = True
     world = SyntheticWorld(n_points=6000, seed=seed)
     apply_world_to_settings(world, settings)
     system = SlamSystem(settings)
@@ -303,7 +315,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     # BENCH_ASYNC=1 exercises the async deployment mode instead.
     async_mode = os.environ.get("BENCH_ASYNC", "0") == "1"
     with_loop = os.environ.get("BENCH_LOOP", "1") == "1"
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
 
     # ---- smooth workload -------------------------------------------------
     # warmup: trigger all jit compiles, INCLUDING the keyframe-insertion
@@ -322,7 +334,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     # away in stalls: one completed run is a valid measurement
     walls = []
     best = None
-    for k in range(4):
+    for k in range(6):
         system, frames = _build_smooth(7, n_frames, async_mode)
         runner = WindowedRunner(system, window=window, two_stage=two_stage)
         _wake_tunnel()
@@ -332,7 +344,12 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         walls.append(wall)
         if best is None or wall < best[0]:
             best = (wall, system, runner)
-        if _budget_left(budget_s) < (180 if with_loop else 60):
+        # measurement must survive tunnel stalls: keep taking runs while
+        # at least 3 haven't landed and the downstream lanes' budget slice
+        # (mono-VI + pixels + loop, ~450 s worst case) is untouched
+        if k >= 2 and _budget_left(budget_s) < 500:
+            break
+        if _budget_left(budget_s) < 300:
             break
     wall, system, runner = best
 
@@ -349,24 +366,25 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     res["scan"] = scan = _bench_scan(system, runner, frames, two_stage)
     res["kf_cycle_ms"] = kf_cycle_ms = _bench_kf_cycle(system)
 
-    # single-stage comparison run (same workload, coarse stage off) —
-    # skipped when the budget is nearly gone (it compiles its own scan)
-    single_fps = None
-    if two_stage and _budget_left(budget_s) > 150:
-        s2, f2 = _build_smooth(123, 48, async_mode)
-        for f in f2:
-            f.timestamp = f.frame_id / 10.0
-        WindowedRunner(s2, window=window, two_stage=False).run(f2)
-        s2, f2 = _build_smooth(7, n_frames, async_mode)
-        _wake_tunnel()
-        t0 = time.perf_counter()
-        WindowedRunner(s2, window=window, two_stage=False).run(f2)
-        single_fps = len(s2.tracker.trajectory) / (time.perf_counter() - t0)
-    res["single_stage_fps"] = single_fps
+    # ---- mono-VI workload (the north-star configuration) ------------------
+    # runs IMMEDIATELY after the headline — BASELINE.json's target is the
+    # EuRoC-MH_01-shaped mono-VI lane, so it must land before the extras
+    mono_vi = None
+    if os.environ.get("BENCH_MONO_VI", "1") == "1" \
+            and _budget_left(budget_s) > 60:
+        mono_vi = _bench_mono_vi(window=min(window, 16))
+    res["mono_vi"] = mono_vi
+
+    # ---- pixels-in end-to-end lane ----------------------------------------
+    e2e_pixels = None
+    if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
+            and _budget_left(budget_s) > 90:
+        e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
+    res["e2e_pixels"] = e2e_pixels
 
     # ---- loop workload ---------------------------------------------------
     loop_extra = None
-    if with_loop:
+    if with_loop and _budget_left(budget_s) > 120:
         lsys, lframes = _build_loop(7, 400, async_mode)
         WindowedRunner(lsys, window=window, two_stage=two_stage).run(lframes)
         loops_warm = lsys.loop_closing.n_loops_closed
@@ -390,21 +408,22 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         }
     res["loop"] = loop_extra
 
-    # ---- mono-VI workload (the north-star configuration) ------------------
-    mono_vi = None
-    if os.environ.get("BENCH_MONO_VI", "1") == "1" \
-            and _budget_left(budget_s) > 100:
-        mono_vi = _bench_mono_vi(window=min(window, 16))
-    res["mono_vi"] = mono_vi
-
-    # ---- pixels-in end-to-end lane ----------------------------------------
-    e2e_pixels = None
-    if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
-            and _budget_left(budget_s) > 120:
-        e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
-    res["e2e_pixels"] = e2e_pixels
-
     res["orb_fps"], res["orb_stages"] = _bench_orb()
+
+    # single-stage comparison run LAST (same workload, coarse stage off) —
+    # a diagnostic, not a target; it compiles its own scan variant
+    single_fps = None
+    if two_stage and _budget_left(budget_s) > 120:
+        s2, f2 = _build_smooth(123, 48, async_mode)
+        for f in f2:
+            f.timestamp = f.frame_id / 10.0
+        WindowedRunner(s2, window=window, two_stage=False).run(f2)
+        s2, f2 = _build_smooth(7, n_frames, async_mode)
+        _wake_tunnel()
+        t0 = time.perf_counter()
+        WindowedRunner(s2, window=window, two_stage=False).run(f2)
+        single_fps = len(s2.tracker.trajectory) / (time.perf_counter() - t0)
+    res["single_stage_fps"] = single_fps
     return res
 
 
@@ -485,12 +504,19 @@ def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
 
 
 def _bench_kf_cycle(system, reps: int = 3):
-    """Secondary metric: one full keyframe back-end cycle — triangulation
-    fan-out + bidirectional fusion + LBA, dispatch through blocking
-    readback — in milliseconds (median of ``reps``).  The smooth headline's
-    sparse keyframe cadence exercises these paths only a handful of times;
-    this reports their steady-state latency directly (the loop workload
-    numbers include ~70 of them)."""
+    """Secondary metric: the keyframe back-end cycle — triangulation
+    fan-out + bidirectional fusion + LBA.  Two numbers:
+
+      * pipelined ms/cycle — the steady-state cost the system actually
+        pays per keyframe: cycle k+1 is dispatched BEFORE cycle k's
+        blocking fetch, exactly the software pipeline the runner uses
+        (local_mapping.flush_deferred), so the fetch round trip overlaps
+        the next cycle's device execution;
+      * blocking ms — one isolated dispatch->fetch latency (device time
+        + one full tunnel round trip), the number prior rounds reported.
+
+    The smooth headline's sparse keyframe cadence exercises these paths
+    only a handful of times; the loop workload pays ~70 of them."""
     import time
 
     import numpy as np
@@ -500,9 +526,8 @@ def _bench_kf_cycle(system, reps: int = 3):
     try:
         lm = system.tracker.local_mapper
         kf = int(system.tracker.last_kf)
-        times = []
-        for _ in range(reps + 1):
-            t0 = time.perf_counter()
+
+        def one_dispatch():
             tri = lm._tri_dispatch(kf)
             fuse = (lm.map_searcher.dispatch(kf)
                     if lm.map_searcher is not None else None)
@@ -515,9 +540,33 @@ def _bench_kf_cycle(system, reps: int = 3):
                 arrays += fuse[0]
             if ba is not None:
                 arrays += ba[0]
-            fetch_list(arrays)
+            for a in arrays:
+                a.copy_to_host_async()
+            return arrays
+
+        times = []
+        for _ in range(reps + 1):
+            t0 = time.perf_counter()
+            fetch_list(one_dispatch())
             times.append(time.perf_counter() - t0)
-        return round(float(np.median(times[1:])) * 1000, 1)
+        blocking_ms = float(np.median(times[1:])) * 1000
+
+        n_pipe = 2 * reps + 2
+        prev = one_dispatch()
+        t0 = time.perf_counter()
+        for _ in range(n_pipe):
+            cur = one_dispatch()
+            fetch_list(prev)
+            prev = cur
+        fetch_list(prev)
+        pipelined_ms = (time.perf_counter() - t0) / (n_pipe + 1) * 1000
+        return {
+            "pipelined_ms": round(pipelined_ms, 1),
+            "blocking_ms": round(blocking_ms, 1),
+            "note": ("pipelined = steady-state ms/keyframe with cycle k+1 "
+                     "dispatched before cycle k's fetch (the runner's "
+                     "schedule); blocking = isolated dispatch->fetch"),
+        }
     except Exception:
         return None
 

@@ -30,6 +30,11 @@ def build(seed, count, async_mode=None):
     settings.lba_point_slots = 8192
     settings.lba_obs_slots = 8
     settings.th_depth = 25.0
+    if workload == "smooth":
+        # mirror bench._build_smooth: pinned snapshot buckets (no mid-run
+        # bucket-growth recompiles)
+        settings.local_map_slots = 2048
+        settings.pin_local_map_bucket = True
     if workload == "loop":
         from snakeslam_tpu.utils.synthetic import loop_trajectory
 

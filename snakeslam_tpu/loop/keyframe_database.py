@@ -55,6 +55,14 @@ class KeyframeDatabase:
         return BOW.transform_packed_np(self.voc, desc_bits)
 
     def add(self, kf: int):
+        # idempotent: back-end queues legitimately re-enqueue keyframes
+        # (simplification neighbor re-adds, deferred re-processing) and a
+        # duplicate inverted-file entry would DOUBLE the keyframe's
+        # shared-word counts — inflating max_common until the 0.8 ratio
+        # filter rejects every honestly-counted candidate (this exact bug
+        # silently killed loop detection on the rendered-orbit workload)
+        if self.present[kf]:
+            self.remove(kf)
         n = int(self.map.kf_n_feat[kf])
         words, v = BOW.transform_packed_np(
             self.voc, self.map.kf_feat_desc[kf, :n])

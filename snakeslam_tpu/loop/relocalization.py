@@ -76,5 +76,7 @@ class Relocalizer:
             frame.matches = matches
             frame.outlier = np.zeros(frame.n, dtype=bool)
             frame.ref_kf = cand
+            frame.capture_rel(self.map.kf_pose[cand],
+                              self.map.kf_frame_id[cand])
             return True
         return False

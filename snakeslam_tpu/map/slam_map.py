@@ -55,10 +55,27 @@ class FrameData:
     outlier: np.ndarray | None = None     # (n,) bool
     ref_kf: int = -1
     is_keyframe: bool = False
+    # pose relative to the reference keyframe, T_cw = rel_to_ref @ T_ref
+    # (reference: Frame.h:94-98 reltoRef + Frame.cpp:67-71
+    # getPoseFromReference) — keyframe corrections (LBA drift, loop
+    # closure PGO) retroactively correct the whole frame trajectory.
+    # ref_frame_id guards against keyframe-slot reuse: a culled slot can
+    # be reallocated to an unrelated keyframe (id == pool index), so the
+    # composition is valid only while the slot still holds the SAME
+    # keyframe (its source frame_id matches).
+    rel_to_ref: np.ndarray | None = None  # (4, 4)
+    ref_frame_id: int = -1
 
     @property
     def n(self) -> int:
         return len(self.uv)
+
+    def capture_rel(self, kf_pose_cw: np.ndarray, ref_frame_id: int = -1):
+        """Record the pose relative to the reference keyframe (call with
+        the reference keyframe's pose AS OF tracking time)."""
+        if self.pose_cw is not None:
+            self.rel_to_ref = self.pose_cw @ np.linalg.inv(kf_pose_cw)
+            self.ref_frame_id = int(ref_frame_id)
 
 
 class SlamMap:

@@ -213,6 +213,12 @@ class MapSearcher:
         # the projection search scales with it, a single keyframe rarely
         # observes more than ~1.5k points, and each bucket compiles once
         def _bucket(n):
+            # pinned mode (pin_local_map_bucket): ONE compiled fuse program
+            # for the whole run — dynamic growth would recompile the
+            # vmapped search mid-run, which costs far more than the padded
+            # rows (the search is MXU-batched mask arithmetic)
+            if getattr(self.s, "pin_local_map_bucket", False):
+                return self.s.local_map_slots
             b = 1024
             while b < n:
                 b *= 2

@@ -148,6 +148,8 @@ class LocalMapper:
             self.map.kf_next[prev_kf] = kf
         frame.is_keyframe = True
         frame.ref_kf = kf
+        frame.rel_to_ref = np.eye(4)  # the frame IS the keyframe
+        frame.ref_frame_id = int(frame.frame_id)
         self._last_kf_frame_id = frame.frame_id
         self.process_sync(kf, frame)
         if defer:

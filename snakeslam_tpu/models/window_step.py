@@ -164,6 +164,7 @@ def window_track(
     is_stereo: jax.Array,         # () bool
     th_depth: jax.Array,          # () close-point threshold
     n_valid_frames: jax.Array,    # () unpadded window length
+    med_override: jax.Array | None = None,  # () refreshed median depth
     n_slots: int = 1024,
     two_stage: bool = True,
     use_imu: bool = False,
@@ -358,6 +359,14 @@ def window_track(
         assign_out = jnp.where(active, assign, -1).astype(jnp.int16)
         return ((new_T, new_vel, new_dec, stop_after),
                 (out, assign_out, vis, fnd))
+
+    # median-depth refresh folded into the compiled program: the host sets
+    # med_override > 0 after a keyframe commit instead of mutating the
+    # carried dec_state with an eager .at[].set (each eager op is a full
+    # dispatch over the remote-TPU tunnel)
+    if med_override is not None:
+        dec_state = dec_state.at[8].set(
+            jnp.where(med_override > 0, med_override, dec_state[8]))
 
     init = (T_last, velocity, dec_state, stopped_in)
     W = frames_buf.shape[0]

@@ -366,6 +366,46 @@ def knn2_ratio_match_np(bits_a, bits_b, ratio: float = 0.8,
     return idx[:na], dist[:na]
 
 
+def knn2_ratio_match_packed_np(packed_a: np.ndarray, packed_b: np.ndarray,
+                               ratio: float = 0.8, max_dist: int = TH_LOW,
+                               cross_check: bool = True):
+    """Pure-HOST 2-NN Hamming matching on PACKED (n, 32) uint8 descriptors
+    via the hardware popcount (np.bitwise_count over 4 uint64 lanes).
+
+    Same contract as knn2_ratio_match_np, but never touches the device:
+    loop detection calls brute-force matching once per (keyframe,
+    candidate) pair and on a remote TPU each device call pays a full
+    tunnel round trip — measured 47.7 ms/call on the loop workload vs
+    ~2 ms for this path at 600x600.  (The device path remains right when
+    the operands already live in HBM.)"""
+    na, nb = len(packed_a), len(packed_b)
+    if na == 0 or nb == 0:
+        return (np.full(na, -1, dtype=np.int32),
+                np.full(na, INVALID_DIST, dtype=np.int32))
+    a64 = np.ascontiguousarray(packed_a).view(np.uint64)   # (na, 4)
+    b64 = np.ascontiguousarray(packed_b).view(np.uint64)   # (nb, 4)
+    dist = np.bitwise_count(
+        a64[:, None, :] ^ b64[None, :, :]
+    ).sum(axis=-1).astype(np.int32)                        # (na, nb)
+    ar = np.arange(na)
+    j1 = dist.argmin(axis=1).astype(np.int32)
+    d1 = dist[ar, j1]
+    if cross_check:
+        rev = dist.argmin(axis=0).astype(np.int32)         # best a per b
+    if nb > 1:
+        saved = d1.copy()
+        dist[ar, j1] = INVALID_DIST
+        d2 = dist.min(axis=1)
+        dist[ar, j1] = saved
+    else:
+        d2 = np.full(na, INVALID_DIST, dtype=np.int32)
+    ok = (d1 <= max_dist) & (d1.astype(np.float32) <= ratio * d2)
+    if cross_check:
+        ok &= rev[j1] == ar
+    idx = np.where(ok, j1, -1).astype(np.int32)
+    return idx, d1
+
+
 def knn2_ratio_match(bits_a, bits_b, valid_a, valid_b, ratio: float = 0.8,
                      max_dist: int = TH_LOW, cross_check: bool = True):
     """Brute-force 2-NN Hamming matching with ratio test.

@@ -231,7 +231,15 @@ class GlobalBA:
             inv_scale = self.pyramid.inv_scales
             w[:n] = inv_scale[np.clip(f.octave[:n], 0, len(inv_scale) - 1)]
             mask[sel] = True
-            batch_T.append(f.pose_cw.astype(F32))
+            # start from the pose composed through the reference keyframe:
+            # after a loop correction the stored absolute pose is in the
+            # pre-correction basis and the GN would start a basin away
+            T0 = f.pose_cw
+            if (f.rel_to_ref is not None and f.ref_kf >= 0
+                    and smap.kf_valid[f.ref_kf]
+                    and smap.kf_frame_id[f.ref_kf] == f.ref_frame_id):
+                T0 = f.rel_to_ref @ smap.kf_pose[f.ref_kf]
+            batch_T.append(T0.astype(F32))
             batch_obs.append((pts, uv, right, w, mask))
             out_frames.append(f)
         if not out_frames:
@@ -250,6 +258,10 @@ class GlobalBA:
         for i, f in enumerate(out_frames):
             if n_inl[i] >= 10:
                 f.pose_cw = refined[i]
+                if (f.ref_kf >= 0 and smap.kf_valid[f.ref_kf]
+                        and smap.kf_frame_id[f.ref_kf] == f.ref_frame_id):
+                    f.capture_rel(smap.kf_pose[f.ref_kf],
+                                  smap.kf_frame_id[f.ref_kf])
         return len(out_frames)
 
     def rematch_intermediate(self, frames, max_group: int = 32):

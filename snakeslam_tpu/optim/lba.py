@@ -204,10 +204,18 @@ class LocalBA:
             cam_pose = cam_pose.astype(np.float64)
             points = points.astype(np.float64)
             win = aux["cams"][: aux["n_window"]]
-            smap.kf_pose[win] = cam_pose[: len(win)]
+            # a degenerate window (e.g. during blackout recovery: few
+            # shared points, near-singular Schur) can diverge to NaN —
+            # never commit a non-finite pose/point (the reference's solver
+            # reports success flags; here finiteness is the guard)
+            cam_ok = np.isfinite(cam_pose[: len(win)]).all(axis=(1, 2))
+            win_arr = np.asarray(win)[cam_ok]
+            smap.kf_pose[win_arr] = cam_pose[: len(win)][cam_ok]
             pts_arr = np.asarray(aux["pts"])
             live = smap.pt_valid[pts_arr]
-            smap.pt_pos[pts_arr[live]] = points[: len(pts_arr)][live]
+            pt_new = points[: len(pts_arr)]
+            live &= np.isfinite(pt_new).all(axis=1)
+            smap.pt_pos[pts_arr[live]] = pt_new[live]
 
             erase_outlier_observations(
                 smap, aux["pts"], outliers, aux["obs_kf_id"],

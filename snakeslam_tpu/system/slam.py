@@ -207,6 +207,25 @@ class SlamSystem:
     # trajectory export (TUM format, System.cpp:529-590)
     # ------------------------------------------------------------------
 
+    def frame_pose_global(self, f) -> np.ndarray | None:
+        """A tracked frame's CURRENT global pose: composed through its
+        reference keyframe when possible (reference: Frame.cpp:67-71
+        getPoseFromReference; the TUM writers compose the same way,
+        System.cpp:529-590) so LBA refinements and loop corrections that
+        moved the reference keyframe retroactively correct the frame.
+        Falls back to the tracked absolute pose when the reference was
+        culled (the reference walks spanning-tree parents there,
+        Keyframe.cpp:612-625; culled keyframes' poses stop receiving
+        corrections either way)."""
+        if f.pose_cw is None:
+            return None
+        r = f.ref_kf
+        if (f.rel_to_ref is not None and 0 <= r < self.map.max_keyframes
+                and self.map.kf_valid[r]
+                and self.map.kf_frame_id[r] == f.ref_frame_id):
+            return f.rel_to_ref @ self.map.kf_pose[r]
+        return f.pose_cw
+
     def frame_trajectory(self):
         """(timestamps, positions, quats_wxyz) of all tracked frames, camera
         center in world coordinates."""
@@ -215,9 +234,10 @@ class SlamSystem:
         import jax.numpy as jnp
 
         for f in self.tracker.trajectory:
-            if f.pose_cw is None:
+            pose = self.frame_pose_global(f)
+            if pose is None:
                 continue
-            Twc = np.linalg.inv(f.pose_cw)
+            Twc = np.linalg.inv(pose)
             ts.append(f.timestamp)
             pos.append(Twc[:3, 3])
             q = np.asarray(lie.rotmat_to_quat(jnp.asarray(Twc[:3, :3])))
@@ -282,9 +302,10 @@ class SlamSystem:
         """ATE vs the ground-truth poses carried by the frames (eval only)."""
         est, gt = [], []
         for f in self.tracker.trajectory:
-            if f.pose_cw is None or f.gt_pose_cw is None:
+            pose = self.frame_pose_global(f)
+            if pose is None or f.gt_pose_cw is None:
                 continue
-            est.append(np.linalg.inv(f.pose_cw)[:3, 3])
+            est.append(np.linalg.inv(pose)[:3, 3])
             gt.append(np.linalg.inv(f.gt_pose_cw)[:3, 3])
         if len(est) < 3:
             return float("nan"), 1.0, 0

@@ -291,6 +291,10 @@ class MonoInitializer:
         f2.is_keyframe = True
         f1.ref_kf = kf1
         f2.ref_kf = kf2
+        f1.rel_to_ref = np.eye(4)
+        f2.rel_to_ref = np.eye(4)
+        f1.ref_frame_id = int(f1.frame_id)
+        f2.ref_frame_id = int(f2.frame_id)
         tracker.trajectory.append(f1)  # f2 is appended by process_frame
         tracker.last_kf = kf2
         tracker.velocity = np.eye(4)

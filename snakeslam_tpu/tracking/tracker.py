@@ -102,6 +102,11 @@ class Tracker:
         for f in self.trajectory:
             if f.pose_cw is not None:
                 f.pose_cw = transform_pose_cw(f.pose_cw, s, R, t)
+            if f.rel_to_ref is not None and s != 1.0:
+                # T and T_ref both rebase under the similarity; the relative
+                # rotation is invariant and the translation scales by s
+                f.rel_to_ref = f.rel_to_ref.copy()
+                f.rel_to_ref[:3, 3] *= s
         for f in (self.last_frame,):
             if (f is not None and f.pose_cw is not None
                     and f not in self.trajectory):
@@ -243,6 +248,8 @@ class Tracker:
         self.map.compute_median_depth(kf)
         frame.is_keyframe = True
         frame.ref_kf = kf
+        frame.rel_to_ref = np.eye(4)  # the frame IS the keyframe
+        frame.ref_frame_id = int(frame.frame_id)
         self.last_kf = kf
         self.velocity = np.eye(4)
         if self.local_mapper is not None:
@@ -493,6 +500,8 @@ class Tracker:
         frame.matches = matches
         frame.outlier = np.zeros(frame.n, dtype=bool)
         frame.ref_kf = self.last_kf
+        frame.capture_rel(self.map.kf_pose[self.last_kf],
+                          self.map.kf_frame_id[self.last_kf])
 
         # found/visible statistics: every final inlier match counts as found
         # (coarse-stage matches included — the reference increases found for

@@ -309,12 +309,15 @@ class WindowedRunner:
             padded = padded + [padded[-1]]
         buf = pack_frames_np(padded, Ns)
         self.n_device_calls += 1
+        med = getattr(self, "_med_override", -1.0)
+        self._med_override = -1.0
         outs, assign, vis, fnd, carry_out = window_track(
             lm, jax.device_put(buf),
             carry[0], carry[1], carry[2], carry[3],
             t.cam, t.bf, t.bounds, t.scales, t.log_sf,
             t.coarse_radius, t.fine_th,
             n_valid_frames=jnp.int32(actual),
+            med_override=jnp.float32(med),
             n_slots=Ns, two_stage=self.two_stage, use_imu=self._use_imu(),
             **scal,
         )
@@ -350,6 +353,7 @@ class WindowedRunner:
             jnp.asarray(self._initial_dec_state()),
             jnp.zeros((), dtype=bool),
         )
+        self._med_override = -1.0  # fresh dec_state already carries med
         bucket = int(lm.position.shape[0])
 
         inflight: list[_InFlight] = []
@@ -430,12 +434,13 @@ class WindowedRunner:
                 else:
                     lm, lm_ids = new_lm, new_ids
                     # refresh the carried median scene depth (the in-scan
-                    # virtual-keyframe reset cannot recompute it)
+                    # virtual-keyframe reset cannot recompute it) — folded
+                    # into the NEXT dispatch's compiled program instead of
+                    # an eager .at[].set (each eager op is a full dispatch
+                    # over the remote-TPU tunnel)
                     med = t.map.kf_median_depth[t.last_kf] \
                         or t.map.compute_median_depth(t.last_kf)
-                    carry = (carry[0], carry[1],
-                             carry[2].at[8].set(jnp.float32(max(med, 1e-3))),
-                             carry[3])
+                    self._med_override = max(med, 1e-3)
                 # on stop_dispatch the fetched group is still consumed
                 # below; top_up() dispatches nothing and run() restarts
                 return False
@@ -544,6 +549,8 @@ class WindowedRunner:
             frame.outlier = np.zeros(frame.n, dtype=bool)
             if self._pool is None:
                 frame.ref_kf = t.last_kf
+                frame.capture_rel(t.map.kf_pose[t.last_kf],
+                                  t.map.kf_frame_id[t.last_kf])
             else:
                 # async mode: last_kf is written by the worker thread during
                 # queued insertions — read it there too, serialized after
@@ -569,6 +576,8 @@ class WindowedRunner:
 
     def _set_ref_kf(self, frame):
         frame.ref_kf = self.tracker.last_kf
+        frame.capture_rel(self.tracker.map.kf_pose[frame.ref_kf],
+                          self.tracker.map.kf_frame_id[frame.ref_kf])
 
     def _insert_kf_task(self, frame):
         """Worker-thread keyframe insertion (async mode)."""

@@ -274,3 +274,60 @@ def test_loop_closing_full_pipeline_with_gba():
         )
         errs.append(d)
     assert max(errs) < 0.25, f"loop+GBA correction residual {max(errs)}"
+
+
+@pytest.mark.slow
+def test_windowed_recovery_after_mid_run_loss():
+    """The r04 bench failure mode: tracking dies mid-run inside the
+    WINDOWED pipeline and must come back.  A burst of garbage frames
+    drives RECOVERING (3 frames) -> LOST; once real frames return, BoW
+    relocalization must re-acquire within a few frames and the windowed
+    chain must resume and finish the sequence (reference:
+    Tracking.cpp:200-244 loss policy, TrackingCoarse.cpp:514-539 reloc)."""
+    from snakeslam_tpu.tracking.tracker import TrackingState
+    from snakeslam_tpu.tracking.windowed import WindowedRunner
+
+    world = SyntheticWorld(n_points=6000, seed=9)
+    settings = _stereo_settings(world)
+    system = SlamSystem(settings)
+    n = 160
+    frames = list(synthetic_frames(
+        world, orbit_trajectory(n, radius=7.0, arc=1.2),
+        settings, noise_px=0.3,
+    ))
+    # keyframe cadence: time rule fires regularly so the map is rich
+    # enough for BoW relocalization
+    for f in frames:
+        f.timestamp = f.frame_id / 20.0
+
+    # blackout burst: 6 garbage frames mid-run (the reference's random
+    # frame blanking, Input.cpp:271-278)
+    rng = np.random.default_rng(3)
+    kill_at = 96
+    for k in range(kill_at, kill_at + 6):
+        f = frames[k]
+        m = 100
+        f.uv = rng.uniform([0, 0], [settings.width, settings.height],
+                           size=(m, 2))
+        f.descriptors = rng.integers(0, 256, size=(m, 32), dtype=np.uint8)
+        f.octave = np.zeros(m, dtype=np.int32)
+        f.angle = np.zeros(m, dtype=np.float32)
+        f.right = np.full(m, -1.0)
+        f.depth = np.full(m, -1.0)
+
+    runner = WindowedRunner(system, window=16)
+    runner.run(frames)
+
+    assert system.tracker.state == TrackingState.OK, (
+        f"never recovered: {system.tracker.state}")
+    # re-acquired within a few frames of the blackout's end
+    tracked_ids = {f.frame_id for f in system.tracker.trajectory
+                   if f.pose_cw is not None}
+    post = [i for i in range(kill_at + 6, n) if i in tracked_ids]
+    assert post and post[0] <= kill_at + 6 + 8, (
+        f"relocalization took too long: first tracked post-loss = {post[:1]}")
+    assert len(post) >= 0.9 * (n - kill_at - 6), (
+        f"only {len(post)} of {n - kill_at - 6} post-loss frames tracked")
+    # the recovered segment must still be accurate
+    rmse, _, cnt = system.ate_against_gt(with_scale=False)
+    assert cnt > 100 and rmse < 0.1, f"post-recovery ATE {rmse:.3f} m"

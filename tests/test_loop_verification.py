@@ -115,6 +115,44 @@ def test_group_accumulated_scoring_beats_lucky_single():
         f"kept {kept}")
 
 
+def test_database_add_is_idempotent():
+    """Re-adding a keyframe (back-end queues legitimately re-enqueue) must
+    not duplicate its inverted-file entries: a duplicated keyframe counts
+    every shared word twice, inflating max_common until the 0.8
+    sharing-word ratio filter (KeyframeDatabase.cpp:71) rejects every
+    honestly-counted candidate — the round-4 regression that silently
+    killed loop detection on the rendered orbit."""
+    rng = np.random.default_rng(4)
+    voc = BOW.random_vocabulary_cached(0)
+    smap = SlamMap(max_keyframes=16, max_points=512, max_features=128)
+    db = KeyframeDatabase(voc, smap)
+
+    scene = rng.integers(0, 256, size=(60, 32), dtype=np.uint8)
+    true_c = smap.allocate_keyframe(_frame(0, scene))          # true revisit
+    other = smap.allocate_keyframe(_frame(1, np.concatenate([
+        scene[:30], rng.integers(0, 256, size=(30, 32), dtype=np.uint8)])))
+    query = smap.allocate_keyframe(_frame(2, scene))
+    db.add(true_c)
+    db.add(other)
+    counts_once = db._shared_word_counts(db.words[query]
+                                         if query in db.words else
+                                         db.compute_frame_vector(scene)[0])
+
+    # re-add the weaker keyframe several times (the re-enqueue pattern)
+    for _ in range(3):
+        db.add(other)
+    counts_again = db._shared_word_counts(np.unique(
+        db.compute_frame_vector(scene)[0]))
+    assert counts_again[other] == counts_once[other], (
+        "duplicate add inflated shared-word counts")
+
+    w_q, v_q = db.compute_frame_vector(scene)
+    ids, _ = db.query(v_q, words=np.unique(w_q),
+                      exclude={query}, min_score=0.0, top_n=2)
+    assert int(ids[0]) == true_c, (
+        f"true candidate must survive re-adds, got {ids}")
+
+
 # ---------------------------------------------------------------------------
 
 
