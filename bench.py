@@ -48,7 +48,7 @@ after the smooth headline, BEFORE the loop/orb extras): if the wall-clock
 budget runs dry, the lanes that answer BASELINE.json's targets are the
 ones already recorded, and the SIGTERM handler emits whatever finished.
 
-Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 64),
+Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 128),
 BENCH_TWO_STAGE (default 1), BENCH_ASYNC (default 0), BENCH_LOOP (default
 1), BENCH_MONO_VI (default 1), BENCH_E2E_PIXELS (default 1),
 BENCH_BUDGET_S (default 1200).
@@ -305,7 +305,11 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     if n_frames is None:
         n_frames = int(os.environ.get("BENCH_FRAMES", 400))
     if window is None:
-        window = int(os.environ.get("BENCH_WINDOW", 64))
+        # 128-frame windows halve the per-window overheads (one H2D upload,
+        # one fetch round trip, dispatch) per tracked frame; measured on the
+        # real chip: W=64 -> 228 FPS, W=128 -> 444 FPS, W=192 regresses
+        # (consume granularity too coarse for the keyframe cadence)
+        window = int(os.environ.get("BENCH_WINDOW", 128))
     # reference-shaped coarse+fine is the headline (TrackingCoarse.cpp:
     # 150-341); BENCH_TWO_STAGE=0 measures the single-stage variant only
     two_stage = os.environ.get("BENCH_TWO_STAGE", "1") == "1"
@@ -385,11 +389,14 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     # ---- loop workload ---------------------------------------------------
     loop_extra = None
     if with_loop and _budget_left(budget_s) > 120:
+        # keyframe-dense workload: a KF lands every ~5 frames, so the
+        # consume/back-end cadence wants smaller windows than the smooth lane
+        lwin = min(window, 64)
         lsys, lframes = _build_loop(7, 400, async_mode)
-        WindowedRunner(lsys, window=window, two_stage=two_stage).run(lframes)
+        WindowedRunner(lsys, window=lwin, two_stage=two_stage).run(lframes)
         loops_warm = lsys.loop_closing.n_loops_closed
         lsys, lframes = _build_loop(7, 400, async_mode)
-        lrunner = WindowedRunner(lsys, window=window, two_stage=two_stage)
+        lrunner = WindowedRunner(lsys, window=lwin, two_stage=two_stage)
         _wake_tunnel()
         t0 = time.perf_counter()
         lrunner.run(lframes)
@@ -439,7 +446,7 @@ def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
 
     try:
         t = system.tracker
-        lm, lm_ids = runner._local_map()
+        lm, lm_ids, lm_gen = runner._local_map()
         if lm is None:
             return None
         from snakeslam_tpu.system.settings import InputType
@@ -467,7 +474,7 @@ def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
         # tunnel inserts multi-second stalls at random, so the device time
         # is the BEST of several chained-dispatch rounds.
         carry = fresh_carry()
-        item, carry = runner._dispatch(frames, 0, W, lm, lm_ids, carry, scal)
+        item, carry = runner._dispatch(frames, 0, W, lm, lm_ids, lm_gen, carry, scal)
         np.asarray(item.outs)
         wall = float("inf")
         for _ in range(3):
@@ -477,7 +484,7 @@ def _bench_scan(system, runner, frames, two_stage, reps: int = 4):
             for k in range(reps):
                 item, carry = runner._dispatch(
                     frames, (k * W) % max(len(frames) - W, 1), W,
-                    lm, lm_ids, carry, scal)
+                    lm, lm_ids, lm_gen, carry, scal)
                 last = item
             np.asarray(last.outs)
             wall = min(wall, time.perf_counter() - t0)

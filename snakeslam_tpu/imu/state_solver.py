@@ -147,12 +147,10 @@ class ImuStateSolver:
         self.map.kf_bias_acc[kf] = self.ba
 
     def _preintegrate_edge(self, edge: ImuEdge):
-        edge.preint = IMU.preintegrate(
-            jnp.asarray(edge.omega, F64), jnp.asarray(edge.acc, F64),
-            jnp.asarray(edge.dt, F64),
-            jnp.ones(len(edge.omega), dtype=bool),
-            jnp.asarray(self.bg, F64), jnp.asarray(self.ba, F64),
-        )
+        # bucketed: sample counts vary per edge, and each distinct count
+        # would compile a fresh preintegration scan (ops/imu.preintegrate_np)
+        edge.preint = IMU.preintegrate_np(
+            edge.omega, edge.acc, edge.dt, self.bg, self.ba)
 
     def _on_keyframe_erased(self, kf: int):
         """Keyframe culled: splice its incoming IMU sequence into the edge
@@ -274,25 +272,32 @@ class ImuStateSolver:
             return
         R_i, R_j = self._body_rotations(chain)
         valid = np.ones(len(chain), dtype=bool)
+        dR0 = np.stack([np.asarray(e.preint.dR) for _, _, e in chain])
+        Js = np.stack([np.asarray(e.preint.J_R_bg) for _, _, e in chain])
+        dbg_total = np.zeros(3)
+        rms = np.inf
+        # the whole bias iteration runs HOST-SIDE (ops/imu host twins): the
+        # arrays grow with the chain (jit would recompile per length), the
+        # arithmetic is 3x3 normal equations, and each device call would
+        # pay a tunnel round trip — 5x per keyframe here.  Inside the loop
+        # the preintegrated rotations take the first-order bias correction
+        # (their Jacobians exist for exactly this); one exact
+        # re-preintegration lands after convergence.
         for it in range(5):
-            dRs = np.stack([np.asarray(e.preint.dR) for _, _, e in chain])
-            Js = np.stack([np.asarray(e.preint.J_R_bg) for _, _, e in chain])
+            dRs = dR0 @ IMU.so3_exp_np(
+                np.einsum("kij,j->ki", Js, dbg_total))
             # outlier-edge rejection by rotational error (the reference
             # removes outlier KFs during gyro init, ImuStateSolver.cpp:240+)
             rel = np.swapaxes(dRs, 1, 2) @ np.swapaxes(R_i, 1, 2) @ R_j
-            r = np.asarray(lie.so3_log(jnp.asarray(rel, F64)))
-            errs = np.linalg.norm(r, axis=1)
+            errs = np.linalg.norm(IMU.so3_log_np(rel), axis=1)
             med = np.median(errs[valid]) if valid.any() else 0.0
             valid = errs <= max(3.0 * med, 2.0 * GYRO_RMS_GATE) + 1e-12
             if valid.sum() < 4:
                 valid[:] = True
-            dbg, rms = IMU.solve_gyro_bias(
-                jnp.asarray(R_i, F64), jnp.asarray(R_j, F64),
-                jnp.asarray(dRs, F64), jnp.asarray(Js, F64),
-                jnp.asarray(valid),
-            )
-            self.bg = self.bg + np.asarray(dbg)
-            self.recompute_weights()
+            dbg, rms = IMU.solve_gyro_bias_np(R_i, R_j, dRs, Js, valid)
+            dbg_total = dbg_total + dbg
+        self.bg = self.bg + dbg_total
+        self.recompute_weights()
         self.gyro_iterations += 1
         rms = float(rms)
         if rms < GYRO_RMS_GATE:
@@ -328,14 +333,22 @@ class ImuStateSolver:
             out[n] = -R_wc @ T[:3, 3] + R_wc @ t_cb
         return out
 
-    def _stage_gravity_scale(self):
+    def _linear_scale_gravity(self):
+        """Linear scale/gravity estimate over keyframe triplets (the solve
+        behind the init stage AND the refinement-stage metric correction).
+        Returns (s, g) or None when the chain is too short or the estimate
+        is non-finite.  NOTE: the joint scale/gravity/acc-bias solve is
+        ill-conditioned on short chains with noisy visual poses (ba absorbs
+        scale), so this uses the bias-free estimate — mirroring the
+        reference's staging (scale/gravity first, ACC_BIAS afterwards,
+        ImuStateSolver.h:43-53)."""
         chain = self._chain_keyframes()
         if len(chain) < MIN_KF_FOR_SCALE:
-            return
+            return None
         # consecutive-edge triplets need edge j's end == edge j+1's start
         chain = self._connected_suffix(chain)
         if len(chain) < MIN_KF_FOR_SCALE:
-            return
+            return None
         ids0 = [chain[0][0]] + [j for _, j, _ in chain]
         # body rotations (camera<-body extrinsics applied) + camera centers;
         # the lever-arm term carries t_cb exactly through the triplets
@@ -348,67 +361,54 @@ class ImuStateSolver:
         dt = np.array([float(x.dt) for x in pre])
         dp = np.stack([np.asarray(x.dp) for x in pre])
         dv = np.stack([np.asarray(x.dv) for x in pre])
+        # pad nodes/edges to a power-of-two bucket: the chain grows each
+        # keyframe and this stage runs per keyframe until it converges —
+        # unpadded, each length compiles a fresh linear solve
+        K = len(ids0)
+        Kp = IMU._pow2_bucket(K)
+        Rp = np.tile(np.eye(3), (Kp, 1, 1)); Rp[:K] = R
+        pp = np.zeros((Kp, 3)); pp[:K] = p
+        E = len(pre)            # = K - 1 edges
+        dtp = np.ones(Kp - 1); dtp[:E] = dt
+        dpp = np.zeros((Kp - 1, 3)); dpp[:E] = dp
+        dvp = np.zeros((Kp - 1, 3)); dvp[:E] = dv
+        vtrip = np.zeros(Kp - 2, dtype=bool); vtrip[:E - 1] = True
+        lever = self._lever_args(ids0)
+        if lever.get("with_lever"):
+            Rc = np.tile(np.eye(3), (Kp, 1, 1))
+            Rc[:K] = np.asarray(lever["R_cam"])
+            lever["R_cam"] = jnp.asarray(Rc, F64)
         s1, g1, _, _ = IMU.solve_scale_gravity(
-            jnp.asarray(R, F64), jnp.asarray(p, F64),
-            jnp.asarray(dt[:-1], F64), jnp.asarray(dt[1:], F64),
-            jnp.asarray(dp[:-1], F64), jnp.asarray(dp[1:], F64),
-            jnp.asarray(dv[:-1], F64),
-            jnp.ones(len(pre) - 1, dtype=bool),
-            **self._lever_args(ids0),
+            jnp.asarray(Rp, F64), jnp.asarray(pp, F64),
+            jnp.asarray(dtp[:-1], F64), jnp.asarray(dtp[1:], F64),
+            jnp.asarray(dpp[:-1], F64), jnp.asarray(dpp[1:], F64),
+            jnp.asarray(dvp[:-1], F64),
+            jnp.asarray(vtrip),
+            **lever,
         )
-        # NOTE: the joint scale/gravity/acc-bias solve is ill-conditioned on
-        # short chains with noisy visual poses (ba absorbs scale), so the
-        # initial application uses the bias-free estimate; acc bias is
-        # estimated later by the regularized chain refinement — mirroring
-        # the reference's staging (scale/gravity first, ACC_BIAS stage
-        # afterwards, ImuStateSolver.h:43-53).
         s_est = float(s1)
         g_est = np.asarray(g1, dtype=np.float64)
         if s_est <= 1e-3 or not np.isfinite(g_est).all():
+            return None
+        return s_est, g_est
+
+    def _stage_gravity_scale(self):
+        est = self._linear_scale_gravity()
+        if est is None:
             return
+        s_est, g_est = est
         g_mag = np.linalg.norm(g_est)
         if abs(g_mag - IMU.GRAVITY) > 0.15 * IMU.GRAVITY:
             return  # not converged yet; wait for more keyframes
         self.init_scale = s_est
-
-        # ---- apply: rotate gravity to canonical, rescale the map ----
-        g_dir = g_est / g_mag
-        canonical = np.array([0.0, 0.0, -1.0])
-        axis = np.cross(g_dir, canonical)
-        sa = np.linalg.norm(axis)
-        ca = float(np.dot(g_dir, canonical))
-        if sa < 1e-9:
-            R_align = np.eye(3) if ca > 0 else -np.eye(3)
-        else:
-            w = axis / sa * np.arctan2(sa, ca)
-            R_align = np.asarray(lie.so3_exp(jnp.asarray(w, F64)))
-        self.map.transform(s_est, R_align, np.zeros(3))
-        self.gravity = np.array([0.0, 0.0, -IMU.GRAVITY])
+        self._apply_metric_correction(s_est, g_est)
         self.gravity_initialized = True
-
-        # velocities in the new (metric, gravity-aligned) frame — body
-        # rotations and body positions (lever arm applied at metric scale)
-        chain = self._chain_keyframes()
-        ids0 = [chain[0][0]] + [j for _, j, _ in chain]
-        R = np.stack([self._body_rotation(k) for k in ids0])
-        p = self._body_positions(ids0)
-        self.recompute_weights()
-        pre = [e.preint for _, _, e in chain]
-        vel = IMU.velocities_from_pairs(
-            jnp.asarray(R, F64), jnp.asarray(p, F64),
-            jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
-            jnp.stack([x.dp for x in pre]),
-            jnp.ones(len(pre), dtype=bool),
-            jnp.float64(1.0), jnp.asarray(self.gravity, F64),
-            dv=jnp.stack([x.dv for x in pre]),
-        )
-        ids = [chain[0][0]] + [j for _, j, _ in chain]
-        self.map.kf_velocity[ids] = np.asarray(vel)
-
         self.current_acc_weight = (
             ACC_WEIGHT_SCHEDULE[0] * self.s.weight_acc_optimization
         )
-        self.init_done_time = self.map.kf_timestamp[ids[-1]]
+        chain = self._chain_keyframes()
+        if chain:
+            self.init_done_time = self.map.kf_timestamp[chain[-1][1]]
         self.stage = VIStage.OPTIMIZING
 
     def _stage_refine(self):
@@ -420,15 +420,60 @@ class ImuStateSolver:
         newest_t = self.map.kf_timestamp[chain[-1][1]]
         if newest_t - self.init_done_time < REFINE_SCHEDULE[self.refine_idx]:
             return
-        self._solve_chain(solve_scale=True)
         self.current_acc_weight = (
             ACC_WEIGHT_SCHEDULE[
                 min(self.refine_idx, len(ACC_WEIGHT_SCHEDULE) - 1)
             ] * self.s.weight_acc_optimization
         )
         if self.gba is not None:
-            self.gba.full_ba(iterations=3)
+            # prune catastrophic observations, then refine POINTS against
+            # the (fixed) poses.  A joint mono FullBA here redistributes
+            # accumulated scale drift over the whole map (measured: camera
+            # spread +17% in one 3-iteration pass, Sim3 ATE 0.008 -> 1.56)
+            # and nothing inside this stage can reliably pull it back to
+            # metric — the decoupled chain GN diverges on drifted chains
+            # (s=0.04 estimates) and the linear triplet re-solve rejects.
+            # The reference survives its staged FullBA because its
+            # DecoupledImuSolver re-anchors scale immediately after
+            # (ImuStateSolver.cpp:86-143); until the chain solver is that
+            # robust, the staged refinement keeps poses fixed (point-only,
+            # BAPointOnly parity) — LBA still refines poses locally with
+            # gyro constraints every keyframe.
+            self.gba.remove_outliers()
+            self.gba.point_ba(iterations=4)
         self.refine_idx += 1
+
+    def _apply_metric_correction(self, s_est: float, g_est: np.ndarray):
+        """Rescale the map to metric + re-align gravity to canonical, then
+        refresh preintegrations and closed-form velocities (the shared
+        apply half of the gravity/scale init stage and any later metric
+        re-anchor, ImuStateSolver.cpp:86-143)."""
+        g_dir = g_est / np.linalg.norm(g_est)
+        canonical = np.array([0.0, 0.0, -1.0])
+        axis = np.cross(g_dir, canonical)
+        sa = np.linalg.norm(axis)
+        ca = float(np.dot(g_dir, canonical))
+        if sa < 1e-9:
+            R_align = np.eye(3) if ca > 0 else -np.eye(3)
+        else:
+            w = axis / sa * np.arctan2(sa, ca)
+            R_align = np.asarray(lie.so3_exp(jnp.asarray(w, F64)))
+        self.map.transform(s_est, R_align, np.zeros(3))
+        self.gravity = np.array([0.0, 0.0, -IMU.GRAVITY])
+        self.recompute_weights()
+        chain = self._chain_keyframes()
+        if not chain:
+            return
+        ids = [chain[0][0]] + [j for _, j, _ in chain]
+        R = np.stack([self._body_rotation(k) for k in ids])
+        p = self._body_positions(ids)
+        pre = [e.preint for _, _, e in chain]
+        self.map.kf_velocity[ids] = IMU.velocities_from_pairs_np(
+            R, p, np.array([float(x.dt) for x in pre]),
+            np.stack([np.asarray(x.dp) for x in pre]),
+            1.0, self.gravity,
+            dv=np.stack([np.asarray(x.dv) for x in pre]),
+        )
 
     # ------------------------------------------------------------------
 
@@ -448,29 +493,56 @@ class ImuStateSolver:
         # velocities are free variables: re-initialize them closed-form from
         # the current poses + preintegrations so insertion-time prediction
         # drift can never seed the GN into a bad basin
-        v_init = IMU.velocities_from_pairs(
-            jnp.asarray(R, F64), jnp.asarray(p, F64),
-            jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
-            jnp.stack([x.dp for x in pre]),
-            jnp.ones(len(pre), dtype=bool),
-            jnp.float64(1.0), jnp.asarray(self.gravity, F64),
-            dv=jnp.stack([x.dv for x in pre]),
+        v_init = IMU.velocities_from_pairs_np(
+            R, p, np.array([float(x.dt) for x in pre]),
+            np.stack([np.asarray(x.dp) for x in pre]),
+            1.0, self.gravity,
+            dv=np.stack([np.asarray(x.dv) for x in pre]),
         )
-        self.map.kf_velocity[ids] = np.asarray(v_init)
+        self.map.kf_velocity[ids] = v_init
+        # pad the chain to a power-of-two node bucket (edge_valid masks the
+        # pad): the chain grows per keyframe and the jacfwd GN would
+        # otherwise recompile at every new length — measured as ~95% of the
+        # mono-VI lane's wall clock.  Padded velocity states see only the
+        # 1e-6 damping row (delta stays 0).
+        K = len(ids)
+        Kp = IMU._pow2_bucket(K)
+        E = len(pre)
+
+        def padN(a, fill):
+            out = np.tile(fill, (Kp,) + (1,) * (np.ndim(fill)))
+            out[:K] = a
+            return out
+
+        def padE(a, fill):
+            out = np.tile(fill, (Kp - 1,) + (1,) * (np.ndim(fill)))
+            out[:E] = a
+            return out
+
+        I3, Z3, z3 = np.eye(3), np.zeros((3, 3)), np.zeros(3)
         ch = IMU.ImuChain(
-            R=jnp.asarray(R, F64),
-            p=jnp.asarray(p, F64),
-            v=jnp.asarray(self.map.kf_velocity[ids], F64),
-            dt=jnp.asarray(np.array([float(x.dt) for x in pre]), F64),
-            dR=jnp.stack([x.dR for x in pre]),
-            dv=jnp.stack([x.dv for x in pre]),
-            dp=jnp.stack([x.dp for x in pre]),
-            J_R_bg=jnp.stack([x.J_R_bg for x in pre]),
-            J_v_bg=jnp.stack([x.J_v_bg for x in pre]),
-            J_v_ba=jnp.stack([x.J_v_ba for x in pre]),
-            J_p_bg=jnp.stack([x.J_p_bg for x in pre]),
-            J_p_ba=jnp.stack([x.J_p_ba for x in pre]),
-            edge_valid=jnp.ones(len(pre), dtype=bool),
+            R=jnp.asarray(padN(R, I3), F64),
+            p=jnp.asarray(padN(p, z3), F64),
+            v=jnp.asarray(padN(self.map.kf_velocity[ids], z3), F64),
+            dt=jnp.asarray(padE(
+                np.array([float(x.dt) for x in pre]), np.float64(1.0)), F64),
+            dR=jnp.asarray(padE(
+                np.stack([np.asarray(x.dR) for x in pre]), I3), F64),
+            dv=jnp.asarray(padE(
+                np.stack([np.asarray(x.dv) for x in pre]), z3), F64),
+            dp=jnp.asarray(padE(
+                np.stack([np.asarray(x.dp) for x in pre]), z3), F64),
+            J_R_bg=jnp.asarray(padE(
+                np.stack([np.asarray(x.J_R_bg) for x in pre]), Z3), F64),
+            J_v_bg=jnp.asarray(padE(
+                np.stack([np.asarray(x.J_v_bg) for x in pre]), Z3), F64),
+            J_v_ba=jnp.asarray(padE(
+                np.stack([np.asarray(x.J_v_ba) for x in pre]), Z3), F64),
+            J_p_bg=jnp.asarray(padE(
+                np.stack([np.asarray(x.J_p_bg) for x in pre]), Z3), F64),
+            J_p_ba=jnp.asarray(padE(
+                np.stack([np.asarray(x.J_p_ba) for x in pre]), Z3), F64),
+            edge_valid=jnp.asarray(np.arange(Kp - 1) < E),
         )
         out = IMU.solve_imu_chain(
             ch, jnp.asarray(self.bg, F64), jnp.asarray(self.ba, F64),
@@ -490,7 +562,7 @@ class ImuStateSolver:
             return  # refinement diverged; keep the current state
         self.bg = new_bg
         self.ba = new_ba
-        self.map.kf_velocity[ids] = np.asarray(out["v"])
+        self.map.kf_velocity[ids] = np.asarray(out["v"])[:len(ids)]
         g_new = np.asarray(out["g"], dtype=np.float64)
         # re-canonicalize gravity + scale onto the map
         if solve_scale and abs(s - 1.0) > 1e-4:
@@ -506,7 +578,7 @@ class ImuStateSolver:
                 R_align = np.asarray(lie.so3_exp(jnp.asarray(w, F64)))
             self.map.transform(s, R_align, np.zeros(3))
             self.map.kf_velocity[ids] = (
-                np.asarray(out["v"]) @ R_align.T
+                np.asarray(out["v"])[:len(ids)] @ R_align.T
             )
         self.recompute_weights()
 

@@ -23,7 +23,7 @@ _KF_FIELDS = [
 _PT_FIELDS = [
     "pt_valid", "pt_pos", "pt_normal", "pt_desc", "pt_bits", "pt_ref_kf",
     "pt_ref_depth", "pt_ref_level", "pt_found", "pt_visible", "pt_first_kf",
-    "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
+    "pt_obs_kf", "pt_obs_feat", "pt_n_obs", "pt_alloc_gen",
 ]
 
 
@@ -44,7 +44,8 @@ def load_map(path) -> SlamMap:
     caps = z["_caps"]
     smap = SlamMap(int(caps[0]), int(caps[1]), int(caps[2]))
     for f in _KF_FIELDS + _PT_FIELDS:
-        getattr(smap, f)[...] = z[f]
+        if f in z:  # older checkpoints may predate a field (e.g. alloc gen)
+            getattr(smap, f)[...] = z[f]
     alloc = z["_alloc"]
     smap._next_kf, smap._next_pt, smap.state = (
         int(alloc[0]), int(alloc[1]), int(alloc[2])

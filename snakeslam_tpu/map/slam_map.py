@@ -133,6 +133,13 @@ class SlamMap:
         # UpdateDistinctiveDescriptors/UpdateNormalAndDepth on modification
         # (MapPoint.cpp:60-81,120-166), not per back-end cycle
         self.pt_dirty = np.zeros(P, dtype=bool)
+        # per-slot allocation generation: point slots are recycled
+        # (id == pool index), so a stale slot->id translation from an
+        # in-flight device snapshot can silently alias a NEW point after
+        # erase+reallocate.  The reference's shared_ptr identity makes this
+        # impossible (a dead MapPoint keeps its object, Map.h:48-77); the
+        # SoA analog is a generation stamp checked at consume time.
+        self.pt_alloc_gen = np.zeros(P, dtype=np.int64)
 
         self._next_kf = 0
         self._next_pt = 0
@@ -146,6 +153,10 @@ class SlamMap:
         # tracker must rebase its state explicitly
         self.on_transform: list = []
         self.on_erase_keyframe: list = []
+        # culled keyframes: source frame_id -> (anchor slot, anchor source
+        # frame_id, T_culled @ T_anchor^-1) for gauge-consistent global
+        # poses (Keyframe::PoseGlobal parity, Keyframe.cpp:612-625)
+        self.erased_kf_rel: dict[int, tuple[int, int, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
     # allocation
@@ -207,6 +218,7 @@ class SlamMap:
         self.pt_obs_feat[p] = -1
         self.pt_n_obs[p] = 0
         self.pt_dirty[p] = True
+        self.pt_alloc_gen[p] += 1
         return p
 
     # ------------------------------------------------------------------
@@ -308,6 +320,7 @@ class SlamMap:
         self.pt_obs_feat[ids] = -1
         self.pt_n_obs[ids] = 0
         self.pt_dirty[ids] = True
+        self.pt_alloc_gen[ids] += 1
         return ids
 
     def update_points_bulk(self, pts: np.ndarray, only_dirty: bool = False):
@@ -440,6 +453,20 @@ class SlamMap:
         # reparent children to this KF's parent
         children = np.nonzero(self.kf_parent == kf)[0]
         self.kf_parent[children] = self.kf_parent[kf]
+        # record the pose relative to a surviving anchor so culled-KF
+        # global poses can follow later corrections (Keyframe::PoseGlobal
+        # walks spanning-tree parents, Keyframe.cpp:612-625).  Keyed by the
+        # keyframe's source frame_id — slots get reused.
+        # force-culled keyframes (cull_factor >= 5, the bad-section
+        # mitigation marker, System.cpp:167-184) are culled BECAUSE their
+        # pose is suspect — recording an anchor rel from it would make
+        # frames compose through the very corruption the cull removed
+        anchor = nxt if (nxt >= 0 and self.kf_valid[nxt]) else prev
+        if (anchor >= 0 and self.kf_valid[anchor]
+                and self.kf_cull_factor[kf] < 5.0):
+            rel = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[anchor])
+            self.erased_kf_rel[int(self.kf_frame_id[kf])] = (
+                int(anchor), int(self.kf_frame_id[anchor]), rel)
         self.kf_valid[kf] = False
         if hasattr(self, "_kf_feat_cache"):
             self._kf_feat_cache.pop(kf, None)
@@ -597,6 +624,13 @@ class SlamMap:
             T[:3, 3] = T[:3, 3] / sk
             self.kf_pose[k] = T
         self.kf_velocity[ks] *= s
+        # culled-KF anchor rels: rotation invariant, translation scales
+        # (same similarity algebra as FrameData.rel_to_ref)
+        if s != 1.0 and self.erased_kf_rel:
+            for key, (a, afid, rel) in list(self.erased_kf_rel.items()):
+                rel = rel.copy()
+                rel[:3, 3] *= s
+                self.erased_kf_rel[key] = (a, afid, rel)
         self.state += 1
         for cb in self.on_transform:
             cb(s, R, t)

@@ -149,14 +149,19 @@ class MapSearcher:
         return self._commit_fuse(np.asarray(fp), ids, kf)
 
     def _commit_fuse(self, feat_point: np.ndarray, ids: np.ndarray,
-                     kf: int) -> int:
+                     kf: int, gen: np.ndarray | None = None) -> int:
         smap = self.map
+        if not smap.kf_valid[kf]:
+            return 0
         n = int(smap.kf_n_feat[kf])
         fused = 0
         for f in np.nonzero(feat_point[:n] >= 0)[0]:
-            p = int(ids[feat_point[f]])
+            slot = feat_point[f]
+            p = int(ids[slot])
             if not smap.pt_valid[p]:
                 continue
+            if gen is not None and smap.pt_alloc_gen[p] != gen[slot]:
+                continue  # slot recycled since dispatch
             existing = smap.kf_obs[kf, f]
             if existing == p:
                 continue
@@ -254,7 +259,14 @@ class MapSearcher:
         arrays = [x for x in (fp_fwd, fp_bwd) if x is not None]
         if not arrays:
             return None
+        # gen stamps: the pipelined flush commits one cycle late, and a
+        # point slot recycled in between would alias an unrelated new point
+        # (pt_valid alone cannot tell — the NEW point is valid too)
         ctx = dict(neighbors=neighbors, ids_f=ids_f, ids_b=ids_b,
+                   gen_f=(smap.pt_alloc_gen[ids_f].copy()
+                          if ids_f is not None else None),
+                   gen_b=(smap.pt_alloc_gen[ids_b].copy()
+                          if ids_b is not None else None),
                    has_fwd=fp_fwd is not None, has_bwd=fp_bwd is not None)
         return arrays, ctx
 
@@ -266,8 +278,10 @@ class MapSearcher:
         if ctx["has_fwd"]:
             fp_all = fetched.pop(0)
             for bi, nb in enumerate(ctx["neighbors"]):
-                fused += self._commit_fuse(fp_all[bi], ctx["ids_f"], nb)
+                fused += self._commit_fuse(fp_all[bi], ctx["ids_f"], nb,
+                                           gen=ctx.get("gen_f"))
         if ctx["has_bwd"]:
-            fused += self._commit_fuse(fetched.pop(0), ctx["ids_b"], kf)
+            fused += self._commit_fuse(fetched.pop(0), ctx["ids_b"], kf,
+                                       gen=ctx.get("gen_b"))
         smap.state += 1
         return fused

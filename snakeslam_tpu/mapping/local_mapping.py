@@ -457,6 +457,8 @@ class LocalMapper:
         reference, Triangulator.cpp:52-109; here the map is only mutated by
         the same serialized worker, so poses cannot drift mid-flight)."""
         smap = self.map
+        if not smap.kf_valid[kf]:
+            return 0  # culled since dispatch (pipelined flush)
         neighbors = ctx["neighbors"]
         free_a = ctx["free_a"]
         # vectorized commit: collect accepted candidates per neighbor
@@ -466,7 +468,10 @@ class LocalMapper:
         sel_j: list[np.ndarray] = []
         sel_nb: list[int] = []
         sel_wp: list[np.ndarray] = []
-        free_now = free_a.copy()
+        # re-check freeness at COMMIT time: the pipelined fuse/association
+        # passes may have linked some of these feature slots since dispatch
+        # — bulk-adding over them would silently clobber the existing link
+        free_now = free_a & (smap.kf_obs[kf, :len(free_a)] < 0)
         for bi, nb in enumerate(int(n) for n in neighbors):
             cand = np.nonzero(valid_all[bi] & free_now)[0]
             if len(cand) == 0:

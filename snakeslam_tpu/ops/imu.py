@@ -444,3 +444,166 @@ def solve_imu_chain(
     v, bg, ba, g, s = unpack(x)
     cost = jnp.sum(residuals(x) ** 2)
     return dict(v=v, bg=bg, ba=ba, g=g, s=s, cost=cost)
+
+
+# ---------------------------------------------------------------------------
+# bucketed host front doors + numpy helpers
+#
+# The VI init state machine calls the solvers above once per keyframe with
+# chain/sample arrays whose lengths GROW every call — unpadded, every length
+# is a fresh XLA executable (measured: the mono-VI bench lane spent ~95% of
+# its wall clock compiling, 1.2 tracked FPS).  These wrappers pad to
+# power-of-two buckets with valid masks so each solver compiles once per
+# bucket, and the tiny closed-form pieces run in numpy (no device at all).
+# ---------------------------------------------------------------------------
+
+
+def _pow2_bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def preintegrate_np(omega, acc, dt, bg, ba) -> Preint:
+    """Pure-HOST preintegration (numpy f64), bit-matching the jitted scan.
+
+    Preintegration is inherently sequential 3x3 work over <= a few hundred
+    samples — on a remote accelerator each device call pays a tunnel round
+    trip and each distinct sample count used to compile a fresh scan; the
+    host loop costs ~0.1 ms and the VI state machine re-preintegrates every
+    edge after every bias update (RecomputeWeights)."""
+    import numpy as np
+
+    bg = np.asarray(bg, np.float64)
+    ba = np.asarray(ba, np.float64)
+    I3 = np.eye(3)
+    dR = I3.copy()
+    dv = np.zeros(3)
+    dp = np.zeros(3)
+    T = 0.0
+    JRbg = np.zeros((3, 3)); Jvbg = np.zeros((3, 3))
+    Jvba = np.zeros((3, 3)); Jpbg = np.zeros((3, 3))
+    Jpba = np.zeros((3, 3))
+
+    def _hat(w):
+        return np.array([[0.0, -w[2], w[1]],
+                         [w[2], 0.0, -w[0]],
+                         [-w[1], w[0], 0.0]])
+
+    for w, a, h in zip(np.asarray(omega, np.float64),
+                       np.asarray(acc, np.float64),
+                       np.asarray(dt, np.float64)):
+        wb = (w - bg) * h
+        ab = a - ba
+        th = float(np.linalg.norm(wb))
+        W = _hat(wb)
+        W2 = W @ W
+        if th < 1e-8:
+            dR_inc = I3 + W + 0.5 * W2
+            Jr = I3 - 0.5 * W + W2 / 6.0
+        else:
+            s, c = np.sin(th), np.cos(th)
+            dR_inc = I3 + (s / th) * W + ((1 - c) / th**2) * W2
+            Jr = I3 - ((1 - c) / th**2) * W + ((th - s) / th**3) * W2
+        hat_ab = _hat(ab)
+        dp = dp + dv * h + 0.5 * (dR @ ab) * h * h
+        Jpbg = Jpbg + Jvbg * h - 0.5 * dR @ hat_ab @ JRbg * h * h
+        Jpba = Jpba + Jvba * h - 0.5 * dR * h * h
+        dv = dv + (dR @ ab) * h
+        Jvbg = Jvbg - dR @ hat_ab @ JRbg * h
+        Jvba = Jvba - dR * h
+        JRbg = dR_inc.T @ JRbg - Jr * h
+        dR = dR @ dR_inc
+        T = T + h
+    return Preint(dR, dv, dp, T, JRbg, Jvbg, Jvba, Jpbg, Jpba)
+
+
+def so3_log_np(R):
+    """Batched numpy SO3 log map (host-side; chain-length arrays would
+    recompile the jitted one per length)."""
+    import numpy as np
+
+    R = np.asarray(R, dtype=np.float64)
+    tr = np.clip((np.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    w = np.stack([
+        R[..., 2, 1] - R[..., 1, 2],
+        R[..., 0, 2] - R[..., 2, 0],
+        R[..., 1, 0] - R[..., 0, 1],
+    ], axis=-1)
+    s = 2.0 * np.sin(theta)
+    # small angle: w/2 is already the log; near pi fall back through the
+    # symmetric part (rare in these residuals — gyro errors are small)
+    scale = np.where(theta[..., None] < 1e-7, 0.5,
+                     theta[..., None] / np.maximum(s[..., None], 1e-12))
+    return w * scale
+
+
+def velocities_from_pairs_np(R, p, dt, dp, s, g, dv=None):
+    """Numpy twin of velocities_from_pairs (closed form, ~20 elements —
+    a device call costs more than the arithmetic)."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    p = np.asarray(p, np.float64)
+    dt = np.asarray(dt, np.float64)
+    dp = np.asarray(dp, np.float64)
+    p_i, p_j = p[:-1], p[1:]
+    R_i = R[:-1]
+    num = (s * (p_j - p_i) - 0.5 * g[None, :] * (dt**2)[:, None]
+           - np.einsum("kij,kj->ki", R_i, dp))
+    v = num / np.maximum(dt, 1e-6)[:, None]
+    v_last = v[-1] + g * dt[-1]
+    if dv is not None:
+        v_last = v_last + R_i[-1] @ np.asarray(dv, np.float64)[-1]
+    return np.concatenate([v, v_last[None]], axis=0)
+
+
+def so3_exp_np(w):
+    """Batched numpy SO3 exp map (host-side twin of lie.so3_exp)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float64)
+    th = np.linalg.norm(w, axis=-1)
+    W = np.zeros(w.shape[:-1] + (3, 3))
+    W[..., 0, 1] = -w[..., 2]; W[..., 0, 2] = w[..., 1]
+    W[..., 1, 0] = w[..., 2];  W[..., 1, 2] = -w[..., 0]
+    W[..., 2, 0] = -w[..., 1]; W[..., 2, 1] = w[..., 0]
+    W2 = W @ W
+    small = th < 1e-8
+    ths = np.where(small, 1.0, th)
+    a = np.where(small, 1.0, np.sin(ths) / ths)[..., None, None]
+    b = np.where(small, 0.5, (1 - np.cos(ths)) / ths**2)[..., None, None]
+    return np.eye(3) + a * W + b * W2
+
+
+def solve_gyro_bias_np(R_i, R_j, dR, J_R_bg, valid):
+    """Host twin of solve_gyro_bias: one GN step for the shared gyro-bias
+    increment (3x3 normal equations over <=hundreds of edges — a device
+    call costs a tunnel round trip per VI-init iteration)."""
+    import numpy as np
+
+    rel = np.swapaxes(dR, -1, -2) @ np.swapaxes(R_i, -1, -2) @ R_j
+    r = so3_log_np(rel)                                     # (K, 3)
+    # Jr_inv(-r): Jl_inv(r) = I + 0.5 W + (1/th^2 - (1+cos)/(2 th sin)) W^2
+    th = np.linalg.norm(r, axis=-1)
+    W = np.zeros(r.shape[:-1] + (3, 3))
+    W[..., 0, 1] = -r[..., 2]; W[..., 0, 2] = r[..., 1]
+    W[..., 1, 0] = r[..., 2];  W[..., 1, 2] = -r[..., 0]
+    W[..., 2, 0] = -r[..., 1]; W[..., 2, 1] = r[..., 0]
+    W2 = W @ W
+    small = th < 1e-7
+    ths = np.where(small, 1.0, th)
+    c = np.where(
+        small, 1.0 / 12.0,
+        1.0 / ths**2 - (1.0 + np.cos(ths)) / (2.0 * ths * np.sin(ths)),
+    )[..., None, None]
+    Jl_inv = np.eye(3) + 0.5 * W + c * W2
+    J = -Jl_inv @ np.asarray(J_R_bg, np.float64)            # (K, 3, 3)
+    w = np.asarray(valid, np.float64)
+    H = np.einsum("kij,k,kil->jl", J, w, J)
+    b = np.einsum("kij,k,ki->j", J, w, r)
+    dbg = np.linalg.solve(H + 1e-9 * np.eye(3), -b)
+    rms = np.sqrt((w * (r * r).sum(-1)).sum() / max(w.sum(), 1.0))
+    return dbg, rms

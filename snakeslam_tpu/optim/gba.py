@@ -262,6 +262,12 @@ class GlobalBA:
                         and smap.kf_frame_id[f.ref_kf] == f.ref_frame_id):
                     f.capture_rel(smap.kf_pose[f.ref_kf],
                                   smap.kf_frame_id[f.ref_kf])
+                else:
+                    # reference culled: the realigned absolute pose (solved
+                    # against the FINAL map) is the authoritative estimate —
+                    # composing through a cull-time anchor rel would
+                    # resurrect whatever error got the reference culled
+                    f.rel_to_ref = None
         return len(out_frames)
 
     def rematch_intermediate(self, frames, max_group: int = 32):

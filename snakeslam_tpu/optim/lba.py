@@ -148,7 +148,13 @@ class LocalBA:
             obs["obs_weight"], obs["obs_valid"],
             rpc_i, rpc_j, rpc_T, rpc_w, rpc_valid,
         )
-        aux = dict(cams=cams, pts=pts, n_window=len(window), **obs)
+        # identity stamps for the guarded commit: the pipelined flush
+        # commits one cycle late, and both pools recycle slots — a pose or
+        # position written to a recycled slot would clobber an unrelated
+        # new keyframe/point (pt_valid/kf_valid alone cannot tell)
+        aux = dict(cams=cams, pts=pts, n_window=len(window),
+                   cam_fids=smap.kf_frame_id[cams].copy(),
+                   pts_gen=smap.pt_alloc_gen[pts].copy(), **obs)
         return problem, aux
 
     # ------------------------------------------------------------------
@@ -209,10 +215,16 @@ class LocalBA:
             # never commit a non-finite pose/point (the reference's solver
             # reports success flags; here finiteness is the guard)
             cam_ok = np.isfinite(cam_pose[: len(win)]).all(axis=(1, 2))
-            win_arr = np.asarray(win)[cam_ok]
+            win_arr = np.asarray(win)
+            # identity guard: skip slots culled or recycled since pack
+            cam_ok &= (smap.kf_valid[win_arr]
+                       & (smap.kf_frame_id[win_arr]
+                          == aux["cam_fids"][: len(win)]))
+            win_arr = win_arr[cam_ok]
             smap.kf_pose[win_arr] = cam_pose[: len(win)][cam_ok]
             pts_arr = np.asarray(aux["pts"])
             live = smap.pt_valid[pts_arr]
+            live &= smap.pt_alloc_gen[pts_arr] == aux["pts_gen"]
             pt_new = points[: len(pts_arr)]
             live &= np.isfinite(pt_new).all(axis=1)
             smap.pt_pos[pts_arr[live]] = pt_new[live]

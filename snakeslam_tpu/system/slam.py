@@ -219,11 +219,23 @@ class SlamSystem:
         corrections either way)."""
         if f.pose_cw is None:
             return None
-        r = f.ref_kf
-        if (f.rel_to_ref is not None and 0 <= r < self.map.max_keyframes
-                and self.map.kf_valid[r]
-                and self.map.kf_frame_id[r] == f.ref_frame_id):
-            return f.rel_to_ref @ self.map.kf_pose[r]
+        if f.rel_to_ref is None:
+            return f.pose_cw
+        rel = f.rel_to_ref
+        r, rfid = f.ref_kf, f.ref_frame_id
+        # culled references: walk the recorded anchor chain so the frame
+        # stays in the CURRENT map gauge (a final FullBA can re-gauge the
+        # whole map; a stored absolute pose would mix gauges)
+        for _ in range(64):
+            if (0 <= r < self.map.max_keyframes and self.map.kf_valid[r]
+                    and self.map.kf_frame_id[r] == rfid):
+                return rel @ self.map.kf_pose[r]
+            hop = self.map.erased_kf_rel.get(int(rfid))
+            if hop is None:
+                return f.pose_cw
+            a, afid, arel = hop
+            rel = rel @ arel
+            r, rfid = a, afid
         return f.pose_cw
 
     def frame_trajectory(self):

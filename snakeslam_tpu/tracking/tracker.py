@@ -81,7 +81,9 @@ class Tracker:
         smap.on_transform.append(self._on_map_transform)
         # fine-local-map cache, invalidated on map mutation (map.state)
         self._fine_cache_state = -1
-        self._fine_cache = (None, None)
+        # (snapshot, slot->point ids, pt_alloc_gen at snapshot time) — the
+        # gen stamps let stale consumers detect recycled point slots
+        self._fine_cache = (None, None, None)
         # device-resident point table: per-frame snapshots are id gathers
         self.mirror = smap.device_mirror()
 
@@ -171,13 +173,11 @@ class Tracker:
             import jax.numpy as _jnp
             from snakeslam_tpu.ops import imu as _IMU
 
-            pre = _IMU.preintegrate(
-                _jnp.asarray(frame.imu_omega, _jnp.float64),
-                _jnp.asarray(frame.imu_acc, _jnp.float64),
-                _jnp.asarray(frame.imu_dt, _jnp.float64),
-                _jnp.ones(len(frame.imu_omega), dtype=bool),
-                _jnp.asarray(self.imu_solver.bg, _jnp.float64),
-                _jnp.asarray(self.imu_solver.ba, _jnp.float64),
+            # bucketed: per-frame sample counts vary and each distinct
+            # count would compile a fresh preintegration scan
+            pre = _IMU.preintegrate_np(
+                frame.imu_omega, frame.imu_acc, frame.imu_dt,
+                self.imu_solver.bg, self.imu_solver.ba,
             )
             dR = np.asarray(pre.dR)
             # body == camera: R_cw_new = dR^T @ R_cw_last
@@ -451,11 +451,12 @@ class Tracker:
         # map generation counter moves (the reference instead rebuilds under
         # the read lock every frame, TrackingFine.cpp:97-138)
         if self.map.state == self._fine_cache_state:
-            lm_fine, fine_ids = self._fine_cache
+            lm_fine, fine_ids, _ = self._fine_cache
         else:
             lm_fine, fine_ids = self._fine_local_map(np.unique(matched_pts))
             if lm_fine is not None:
-                self._fine_cache = (lm_fine, fine_ids)
+                self._fine_cache = (lm_fine, fine_ids,
+                                    self.map.pt_alloc_gen[fine_ids].copy())
                 self._fine_cache_state = self.map.state
         if lm_fine is None:
             return False

@@ -65,6 +65,7 @@ class _InFlight:
     vis: object
     fnd: object
     lm_ids: np.ndarray
+    lm_gen: np.ndarray            # pt_alloc_gen of lm_ids at snapshot time
     copied: bool = field(default=False)
 
     def start_copy(self):
@@ -251,6 +252,7 @@ class WindowedRunner:
                    else np.array([], dtype=np.int64))
         if t.map.state == t._fine_cache_state and t._fine_cache[0] is not None:
             return t._fine_cache
+        # (cache invalid from here on)
         # bucket the snapshot padding (powers of two): the scan's compute
         # scales with the snapshot size, and each bucket compiles once
         uniq = np.unique(matched)
@@ -263,10 +265,15 @@ class WindowedRunner:
                 bucket *= 2
             bucket = min(bucket, self.system.s.local_map_slots)
         lm, ids = t._fine_local_map(uniq, n_slots=bucket)
-        if lm is not None:
-            t._fine_cache = (lm, ids)
-            t._fine_cache_state = t.map.state
-        return lm, ids
+        if lm is None:
+            return None, None, None
+        # gen stamps captured at snapshot time: consumes of windows that
+        # tracked against this snapshot drop matches whose point slot was
+        # recycled (erase + reallocate) while the window was in flight
+        gen = t.map.pt_alloc_gen[ids].copy()
+        t._fine_cache = (lm, ids, gen)
+        t._fine_cache_state = t.map.state
+        return lm, ids, gen
 
     # ------------------------------------------------------------------
 
@@ -283,20 +290,20 @@ class WindowedRunner:
                 i += 1
                 continue
             self._drain()
-            lm, lm_ids = self._local_map()
+            lm, lm_ids, lm_gen = self._local_map()
             if lm is None:
                 t.local_mapper.flush_deferred()
                 self.system.process_frame(frames[i])
                 i += 1
                 continue
-            i = self._run_chain(frames, i, lm, lm_ids)
+            i = self._run_chain(frames, i, lm, lm_ids, lm_gen)
         self._drain()
         t.local_mapper.flush_deferred()
         return n
 
     # ------------------------------------------------------------------
 
-    def _dispatch(self, frames, start, W, lm, lm_ids, carry, scal):
+    def _dispatch(self, frames, start, W, lm, lm_ids, lm_gen, carry, scal):
         t = self.tracker
         s = self.system.s
         Ns = s.feature_slots
@@ -322,10 +329,10 @@ class WindowedRunner:
             **scal,
         )
         item = _InFlight(start=start, batch=batch, outs=outs, assign=assign,
-                         vis=vis, fnd=fnd, lm_ids=lm_ids)
+                         vis=vis, fnd=fnd, lm_ids=lm_ids, lm_gen=lm_gen)
         return item, carry_out
 
-    def _run_chain(self, frames, i, lm, lm_ids) -> int:
+    def _run_chain(self, frames, i, lm, lm_ids, lm_gen) -> int:
         """Dispatch chained windows speculatively from frame i; returns the
         index of the first frame NOT consumed.
 
@@ -373,7 +380,7 @@ class WindowedRunner:
             while (not stop_dispatch and next_i < n
                    and len(inflight) < self.depth):
                 item, carry = self._dispatch(
-                    frames, next_i, W, lm, lm_ids, carry, scal)
+                    frames, next_i, W, lm, lm_ids, lm_gen, carry, scal)
                 next_i += len(item.batch)
                 inflight.append(item)
                 # start the D2H copy at DISPATCH time: the copy is queued
@@ -411,7 +418,7 @@ class WindowedRunner:
             def do_refresh():
                 """Commit the pending cycle + swap the refreshed snapshot.
                 Returns True when the chain must restart (map rebase)."""
-                nonlocal refresh_pending, stop_dispatch, lm, lm_ids, carry
+                nonlocal refresh_pending, stop_dispatch, lm, lm_ids, lm_gen, carry
                 refresh_pending = False
                 self._commit_backend()
                 if getattr(t.map, "n_transforms", 0) != transforms_before:
@@ -426,13 +433,13 @@ class WindowedRunner:
                 # swap the refreshed snapshot into future dispatches; a
                 # bucket change would recompile the scan, so end the chain
                 # instead and let run() start a fresh one
-                new_lm, new_ids = self._local_map()
+                new_lm, new_ids, new_gen = self._local_map()
                 if new_lm is None:
                     stop_dispatch = True
                 elif int(new_lm.position.shape[0]) != bucket:
                     stop_dispatch = True
                 else:
-                    lm, lm_ids = new_lm, new_ids
+                    lm, lm_ids, lm_gen = new_lm, new_ids, new_gen
                     # refresh the carried median scene depth (the in-scan
                     # virtual-keyframe reset cannot recompute it) — folded
                     # into the NEXT dispatch's compiled program instead of
@@ -515,7 +522,12 @@ class WindowedRunner:
         # unpacking cost one numpy pass instead of one per frame
         a_all = assign.astype(np.int64)
         safe = np.clip(a_all, 0, max(len(lm_ids) - 1, 0))
-        matches_all = np.where(a_all >= 0, lm_ids[safe], -1)
+        # drop matches whose point slot was recycled while this window was
+        # in flight (erase + reallocate gives the slot a new alloc gen):
+        # a stale slot->id translation would alias an unrelated NEW point,
+        # poisoning keyframe observations with ~100 px associations
+        fresh = t.map.pt_alloc_gen[lm_ids[safe]] == item.lm_gen[safe]
+        matches_all = np.where((a_all >= 0) & fresh, lm_ids[safe], -1)
         poses = outs[:, :16].reshape(-1, 4, 4).astype(np.float64)
         prev_pose = (t.last_tracked_frame.pose_cw
                      if t.last_tracked_frame is not None else None)
@@ -537,7 +549,7 @@ class WindowedRunner:
             if row[17] < 0.5:   # not ok
                 # stats up to the failure are already summed in vis/fnd for
                 # active frames only; commit them before bailing
-                self._submit(self._commit_stats, lm_ids, vis, fnd)
+                self._submit(self._commit_stats, item, vis, fnd)
                 _update_velocity(w)
                 return -(item.start + w + 1)
             if self.imu_solver is not None:
@@ -571,7 +583,7 @@ class WindowedRunner:
                     self._submit(self._insert_kf_task, frame)
                     inserted = True
         _update_velocity(len(item.batch))
-        self._submit(self._commit_stats, lm_ids, vis, fnd)
+        self._submit(self._commit_stats, item, vis, fnd)
         return True if inserted else None
 
     def _set_ref_kf(self, frame):
@@ -586,13 +598,18 @@ class WindowedRunner:
         if kf >= 0:
             t.last_kf = kf
 
-    def _commit_stats(self, lm_ids, vis, fnd):
+    def _commit_stats(self, item, vis, fnd):
         """Per-frame integer visible/found sums (reference per-frame
         IncreaseVisible/IncreaseFound so the found_ratio < 0.25 cull rule
-        keeps its meaning across windows)."""
+        keeps its meaning across windows).  Slots recycled since the
+        window's snapshot are skipped — their counts belong to a point
+        that no longer exists."""
         t = self.tracker
+        lm_ids = item.lm_ids
         nlm = len(lm_ids)
-        np.add.at(t.map.pt_visible, lm_ids,
-                  vis[:nlm].astype(t.map.pt_visible.dtype))
-        np.add.at(t.map.pt_found, lm_ids,
-                  fnd[:nlm].astype(t.map.pt_found.dtype))
+        fresh = t.map.pt_alloc_gen[lm_ids] == item.lm_gen
+        ids = lm_ids[fresh]
+        np.add.at(t.map.pt_visible, ids,
+                  vis[:nlm][fresh].astype(t.map.pt_visible.dtype))
+        np.add.at(t.map.pt_found, ids,
+                  fnd[:nlm][fresh].astype(t.map.pt_found.dtype))
