@@ -71,6 +71,14 @@ def _budget_left(budget_s: float) -> float:
     return budget_s - (time.monotonic() - _PROC_T0)
 
 
+def _lane(msg: str):
+    """Progress marker on stderr (stdout carries only the JSON line)."""
+    import sys
+
+    print(f"[bench +{time.monotonic() - _PROC_T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _wake_tunnel():
     """One tiny device round trip right before a timed region.  The remote
     tunnel parks after host-side idle periods (workload construction takes
@@ -173,6 +181,9 @@ def _build_mono_vi(seed, count, fps=20.0):
     settings.input_type = InputType.Mono
     settings.enable_imu = True
     settings.local_map_slots = 2048
+    # one compiled scan/fuse program for the whole run — mid-run snapshot
+    # bucket growth recompiles over the tunnel (~30 s each)
+    settings.pin_local_map_bucket = True
     world = SyntheticWorld(n_points=6000, seed=seed)
     apply_world_to_settings(world, settings)
     system = SlamSystem(settings)
@@ -322,6 +333,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
 
     # ---- smooth workload -------------------------------------------------
+    _lane("smooth: warmup")
     # warmup: trigger all jit compiles, INCLUDING the keyframe-insertion
     # back-end paths (triangulation/fusion/LBA) — run at low fps so the
     # 0.5 s keyframe time rule fires several times within the warmup
@@ -338,6 +350,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     # away in stalls: one completed run is a valid measurement
     walls = []
     best = None
+    _lane("smooth: timed runs")
     for k in range(6):
         system, frames = _build_smooth(7, n_frames, async_mode)
         runner = WindowedRunner(system, window=window, two_stage=two_stage)
@@ -367,6 +380,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         n_keyframes=system.map.n_keyframes, n_points=system.map.n_points,
         device_calls=runner.n_device_calls,
     )
+    _lane(f"smooth done: fps={fps:.1f} (n={len(walls)}); scan bench")
     res["scan"] = scan = _bench_scan(system, runner, frames, two_stage)
     res["kf_cycle_ms"] = kf_cycle_ms = _bench_kf_cycle(system)
 
@@ -376,19 +390,24 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     mono_vi = None
     if os.environ.get("BENCH_MONO_VI", "1") == "1" \
             and _budget_left(budget_s) > 60:
+        _lane("mono_vi lane")
         mono_vi = _bench_mono_vi(window=min(window, 16))
+        _lane(f"mono_vi done: {mono_vi.get('fps')}")
     res["mono_vi"] = mono_vi
 
     # ---- pixels-in end-to-end lane ----------------------------------------
     e2e_pixels = None
     if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
             and _budget_left(budget_s) > 90:
+        _lane("e2e_pixels lane")
         e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
+        _lane(f"e2e_pixels done: {e2e_pixels.get('fps')}")
     res["e2e_pixels"] = e2e_pixels
 
     # ---- loop workload ---------------------------------------------------
     loop_extra = None
     if with_loop and _budget_left(budget_s) > 120:
+        _lane("loop lane")
         # keyframe-dense workload: a KF lands every ~5 frames, so the
         # consume/back-end cadence wants smaller windows than the smooth lane
         lwin = min(window, 64)
@@ -415,12 +434,14 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         }
     res["loop"] = loop_extra
 
+    _lane("orb lane")
     res["orb_fps"], res["orb_stages"] = _bench_orb()
 
     # single-stage comparison run LAST (same workload, coarse stage off) —
     # a diagnostic, not a target; it compiles its own scan variant
     single_fps = None
     if two_stage and _budget_left(budget_s) > 120:
+        _lane("single-stage lane")
         s2, f2 = _build_smooth(123, 48, async_mode)
         for f in f2:
             f.timestamp = f.frame_id / 10.0
@@ -683,6 +704,7 @@ def _emit(res: dict, partial: bool = False):
 def main():
     import os
     import signal
+    import threading
 
     # a driver-side timeout (SIGTERM) must still yield a JSON line with
     # whatever lanes completed — the tunnel can stall for minutes at a time
@@ -691,6 +713,23 @@ def main():
         os._exit(0 if _EMITTED else 124)
 
     signal.signal(signal.SIGTERM, _on_term)
+
+    # the SIGTERM handler cannot run while the interpreter is blocked in a
+    # native tunnel fetch (signals deliver between bytecodes), and a stalled
+    # fetch is exactly how a timeout happens — so a watchdog THREAD (fetches
+    # release the GIL) emits the partial result just before the budget-based
+    # deadline and hard-exits.  BENCH_WATCHDOG_S overrides; 0 disables.
+    wd_s = float(os.environ.get(
+        "BENCH_WATCHDOG_S",
+        float(os.environ.get("BENCH_BUDGET_S", 1200)) + 60.0))
+    if wd_s > 0:
+        def _watchdog():
+            _emit(_RES, partial=True)
+            os._exit(0 if _EMITTED else 124)
+
+        t = threading.Timer(wd_s, _watchdog)
+        t.daemon = True
+        t.start()
 
     # the remote-TPU tunnel can fail transiently (FAILED_PRECONDITION on a
     # blocking fetch); the windowed runner already retries per window, and

@@ -141,8 +141,24 @@ class MonoInitializer:
         xn2 = norm(f2.uv[i2])
         th = (cfg.ransac_threshold_px / s.fx) ** 2
 
+        # pad the match count to a power-of-two bucket: every jitted stage
+        # below (both RANSACs, pose recovery, the 2-view BA) shapes on it,
+        # and the count varies per attempted frame pair — unbucketed, each
+        # attempt compiles fresh programs, which over the remote-TPU tunnel
+        # costs tens of seconds PER TRACKED FRAME during initialization
+        # (measured: the mono-VI bench lane at 1.97 FPS, dominated by init)
+        n_raw = len(i1)
+        nb = 64
+        while nb < n_raw:
+            nb *= 2
+        xn1p = np.zeros((nb, 2), dtype=np.float32)
+        xn2p = np.zeros((nb, 2), dtype=np.float32)
+        xn1p[:n_raw] = xn1
+        xn2p[:n_raw] = xn2
+        xn1, xn2 = xn1p, xn2p
+
         self.key, k1, k2 = jax.random.split(self.key, 3)
-        mask = jnp.ones(len(i1), dtype=bool)
+        mask = jnp.asarray(np.arange(nb) < n_raw)
         xn1j = jnp.asarray(xn1, dtype=jnp.float32)
         xn2j = jnp.asarray(xn2, dtype=jnp.float32)
         E, e_inl, n_e = essential_ransac(
@@ -189,8 +205,10 @@ class MonoInitializer:
         # matches must cover enough of BOTH images, or the bootstrap
         # geometry is dominated by one structure patch
         binratio = min(
-            feature_histogram_density(f1.uv[i1[good]], s.width, s.height),
-            feature_histogram_density(f2.uv[i2[good]], s.width, s.height),
+            feature_histogram_density(f1.uv[i1[good[:n_raw]]],
+                                      s.width, s.height),
+            feature_histogram_density(f2.uv[i2[good[:n_raw]]],
+                                      s.width, s.height),
         )
         if binratio < cfg.min_histogram_density:
             return False
@@ -203,7 +221,8 @@ class MonoInitializer:
         X = X * scale
         T2[:3, 3] *= scale
 
-        self._create_map(tracker, f1, f2, i1, i2, T2, X, good)
+        self._create_map(tracker, f1, f2, i1, i2,
+                         T2, X[:n_raw], good[:n_raw])
         return True
 
     # ------------------------------------------------------------------

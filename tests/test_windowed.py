@@ -41,3 +41,43 @@ def test_windowed_matches_per_frame_quality():
     assert rmse < 0.02, f"windowed ATE {rmse}"
     # the point of the window path: far fewer device calls than frames
     assert runner.n_device_calls <= len(frames)
+
+
+def test_point_slot_generation_guard():
+    """Recycled point slots must be detectable by stale consumers: erase +
+    reallocate bumps pt_alloc_gen, so a snapshot's gen stamps no longer
+    match (the SoA analog of the reference's shared_ptr MapPoint identity,
+    Map.h:48-77).  Without this, in-flight window consumes alias unrelated
+    new points (measured: ~12% garbage observations per keyframe)."""
+    from snakeslam_tpu.map.slam_map import SlamMap
+
+    smap = SlamMap(max_keyframes=8, max_points=16, max_features=64)
+    desc = np.zeros(32, dtype=np.uint8)
+    n = np.array([0.0, 0.0, 1.0])
+    p = smap.allocate_point(np.array([1.0, 2.0, 3.0]), desc, 0, 1.0, 0, n)
+    snap_gen = smap.pt_alloc_gen[[p]].copy()
+
+    # consumer with a live snapshot: stamps match
+    assert (smap.pt_alloc_gen[[p]] == snap_gen).all()
+
+    # slot recycled while "in flight"
+    smap.erase_point(p)
+    p2 = smap.allocate_point(np.array([9.0, 9.0, 9.0]), desc, 1, 1.0, 0, n)
+    assert p2 == p, "free-list should recycle the slot for this scenario"
+    assert smap.pt_valid[p]          # the NEW point is valid...
+    assert (smap.pt_alloc_gen[[p]] != snap_gen).all(), \
+        "...but the gen stamp must expose the recycle"
+
+    # bulk allocation bumps too
+    ids = smap.allocate_points_bulk(
+        np.zeros((3, 3)), np.zeros((3, 32), dtype=np.uint8), 0,
+        np.ones(3), np.zeros(3, dtype=np.int8), np.tile(n, (3, 1)))
+    g0 = smap.pt_alloc_gen[ids].copy()
+    for i in ids:
+        smap.erase_point(int(i))
+    ids2 = smap.allocate_points_bulk(
+        np.zeros((3, 3)), np.zeros((3, 32), dtype=np.uint8), 0,
+        np.ones(3), np.zeros(3, dtype=np.int8), np.tile(n, (3, 1)))
+    recycled = np.isin(ids2, ids)
+    assert recycled.any()
+    assert (smap.pt_alloc_gen[ids] != g0).any()
