@@ -51,7 +51,7 @@ ones already recorded, and the SIGTERM handler emits whatever finished.
 Env knobs: BENCH_FRAMES (default 400), BENCH_WINDOW (default 128),
 BENCH_TWO_STAGE (default 1), BENCH_ASYNC (default 0), BENCH_LOOP (default
 1), BENCH_MONO_VI (default 1), BENCH_E2E_PIXELS (default 1),
-BENCH_BUDGET_S (default 1200).
+BENCH_BUDGET_S (default 2100).
 """
 
 from __future__ import annotations
@@ -330,7 +330,7 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
     # BENCH_ASYNC=1 exercises the async deployment mode instead.
     async_mode = os.environ.get("BENCH_ASYNC", "0") == "1"
     with_loop = os.environ.get("BENCH_LOOP", "1") == "1"
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2100))
 
     # ---- smooth workload -------------------------------------------------
     _lane("smooth: warmup")
@@ -395,16 +395,9 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
         _lane(f"mono_vi done: {mono_vi.get('fps')}")
     res["mono_vi"] = mono_vi
 
-    # ---- pixels-in end-to-end lane ----------------------------------------
-    e2e_pixels = None
-    if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
-            and _budget_left(budget_s) > 90:
-        _lane("e2e_pixels lane")
-        e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
-        _lane(f"e2e_pixels done: {e2e_pixels.get('fps')}")
-    res["e2e_pixels"] = e2e_pixels
-
-    # ---- loop workload ---------------------------------------------------
+    # ---- loop workload -----------------------------------------------------
+    # runs BEFORE the pixels lane: loop_closed=true inside a timed run is a
+    # core capability claim, the pixels lane is a secondary throughput view
     loop_extra = None
     if with_loop and _budget_left(budget_s) > 120:
         _lane("loop lane")
@@ -433,6 +426,15 @@ def run_bench(n_frames: int | None = None, window: int | None = None):
             "workload": "outward full orbit, non-covisible revisit",
         }
     res["loop"] = loop_extra
+
+    # ---- pixels-in end-to-end lane ----------------------------------------
+    e2e_pixels = None
+    if os.environ.get("BENCH_E2E_PIXELS", "1") == "1" \
+            and _budget_left(budget_s) > 90:
+        _lane("e2e_pixels lane")
+        e2e_pixels = _bench_e2e_pixels(window=min(window, 32))
+        _lane(f"e2e_pixels done: {e2e_pixels.get('fps')}")
+    res["e2e_pixels"] = e2e_pixels
 
     _lane("orb lane")
     res["orb_fps"], res["orb_stages"] = _bench_orb()
@@ -721,7 +723,7 @@ def main():
     # deadline and hard-exits.  BENCH_WATCHDOG_S overrides; 0 disables.
     wd_s = float(os.environ.get(
         "BENCH_WATCHDOG_S",
-        float(os.environ.get("BENCH_BUDGET_S", 1200)) + 60.0))
+        float(os.environ.get("BENCH_BUDGET_S", 2100)) + 60.0))
     if wd_s > 0:
         def _watchdog():
             _emit(_RES, partial=True)
